@@ -1,0 +1,78 @@
+#!/bin/bash
+# Generate golden outputs from the reference yaha binaries.
+# Requires the reference built at /root/yaha_ref_build/bin/yaha (user mode)
+# and /root/yaha_ref_build2/bin/yaha83 (non-user mode, exposes -c/-u).
+# Goldens are committed so tests run without the reference binary.
+set -e
+cd "$(dirname "$0")/.."
+DATA=tests/data
+GOLD=tests/golden
+YAHA=/root/yaha_ref_build/bin/yaha
+YAHA83=/root/yaha_ref_build2/bin/yaha83
+mkdir -p $GOLD
+
+# Work in a scratch dir so generated .nib2/.X files land outside the repo data dir.
+# Fixed scratch path: it appears verbatim in SAM @PG lines, so it must be
+# deterministic for byte-parity tests (tests recreate the index at this path).
+SCRATCH=/tmp/yahagold
+rm -rf $SCRATCH && mkdir -p $SCRATCH
+cp $DATA/testgen.fasta $SCRATCH/
+G=$SCRATCH/testgen.fasta
+
+# --- codec goldens (round trip) ---
+$YAHA83 -g $G -c 2>/dev/null
+cp $SCRATCH/testgen.nib2 $GOLD/testgen.nib2
+# NOTE: reference aborts in exit-time cleanup (free of argv-owned gfileName,
+# Main.c:579-582 + AlignArgs.c:95) AFTER writing the output; tolerate it.
+$YAHA83 -g $SCRATCH/testgen.nib2 -u 2>/dev/null || true
+cp $SCRATCH/testgen.fasta $GOLD/testgen.uncompressed.fasta
+
+# --- index goldens ---
+# NOTE: default wordLen 15 gives a 4^15 SO array (4.3GB index file) regardless
+# of genome size (Index.c:84-86), so committed goldens use smaller -L; the code
+# path is identical.
+# L11 (the standard test index)
+$YAHA -g $SCRATCH/testgen.nib2 -L 11 2>/dev/null
+cp $SCRATCH/testgen.X11_01_65525S $GOLD/
+# L9 (small, byte-parity friendly)
+$YAHA -g $SCRATCH/testgen.nib2 -L 9 2>/dev/null
+cp $SCRATCH/testgen.X09_01_65525S $GOLD/
+# L10 S3 (skipDist > 1)
+$YAHA -g $SCRATCH/testgen.nib2 -L 10 -S 3 2>/dev/null
+cp $SCRATCH/testgen.X10_03_65525S $GOLD/
+# L11 with low maxHits to exercise random index down-sampling
+$YAHA -g $SCRATCH/testgen.nib2 -L 11 -H 20 2>/dev/null
+cp $SCRATCH/testgen.X11_01_00020S $GOLD/
+
+IDX=$SCRATCH/testgen.X11_01_65525S
+
+# --- SAM goldens ---
+run() {  # run <name> <readfile> <extra args...>
+  local name=$1; shift
+  local reads=$1; shift
+  $YAHA -x $IDX -q $DATA/$reads "$@" 2>/dev/null
+}
+
+run a_default  readsA_100bp.fasta  -osh $GOLD/A_default.sam
+run a_soft     readsA_100bp.fasta  -oss $GOLD/A_soft.sam
+run a_fbs      readsA_100bp.fasta  -FBS Y -osh $GOLD/A_fbs.sam
+run a_all      readsA_100bp.fasta  -OQC N -osh $GOLD/A_all.sam
+run a_edit     readsA_100bp.fasta  -AGS N -osh $GOLD/A_edit.sam
+run a_blast8   readsA_100bp.fasta  -o8 $GOLD/A_blast8.out
+run b_default  readsB_500bp.fasta  -osh $GOLD/B_default.sam
+run b_fbs      readsB_500bp.fasta  -FBS Y -osh $GOLD/B_fbs.sam
+run c_default  readsC_1kb.fasta    -osh $GOLD/C_default.sam
+run c_params   readsC_1kb.fasta    -BW 3 -G 20 -M 15 -X 15 -osh $GOLD/C_params.sam
+run d_default  readsD_sv.fasta     -osh $GOLD/D_default.sam
+run d_fbs      readsD_sv.fasta     -FBS Y -osh $GOLD/D_fbs.sam
+run d_all      readsD_sv.fasta     -OQC N -osh $GOLD/D_all.sam
+run e_fastq    readsE_150bp.fastq  -osh $GOLD/E_fastq.sam
+run f_edge     readsF_edge.fasta   -osh $GOLD/F_edge.sam
+
+# low maxHits index run (sampled index + query maxHits interplay)
+$YAHA -x $SCRATCH/testgen.X11_01_00020S -q $DATA/readsA_100bp.fasta -H 20 -osh $GOLD/A_h20.sam 2>/dev/null
+
+gzip -f $GOLD/testgen.X*
+rm -rf $SCRATCH
+echo "goldens written to $GOLD"
+ls -la $GOLD
