@@ -1,0 +1,47 @@
+import os
+import sys
+
+# Force CPU + an 8-device virtual mesh for sharding tests before JAX import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xf = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xf:
+    os.environ["XLA_FLAGS"] = (
+        xf + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import gzip
+import pytest
+import numpy as np
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+GOLD = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.fixture(scope="session")
+def genome():
+    from yaha_tpu.io import nib2
+    with open(os.path.join(GOLD, "testgen.nib2"), "rb") as f:
+        return nib2.load(f.read())
+
+
+@pytest.fixture(scope="session")
+def test_index():
+    """The standard L11 test index, loaded from the committed golden."""
+    from yaha_tpu.io.index_io import Index
+    raw = gzip.open(os.path.join(GOLD, "testgen.X11_01_65525S.gz")).read()
+    data = np.frombuffer(raw, dtype=np.uint32)
+    word_len = int(data[1])
+    ht_size = 1 << (2 * word_len)
+    return Index(word_len=word_len, max_hits=int(data[2]),
+                 total_matches=int(data[3]),
+                 starting_offs=data[4:4 + ht_size + 1],
+                 roa=data[4 + ht_size + 1:])
+
+
+def data_path(name):
+    return os.path.join(DATA, name)
+
+
+def gold_path(name):
+    return os.path.join(GOLD, name)

@@ -72,7 +72,7 @@ run f_edge     readsF_edge.fasta   -osh $GOLD/F_edge.sam
 # low maxHits index run (sampled index + query maxHits interplay)
 $YAHA -x $SCRATCH/testgen.X11_01_00020S -q $DATA/readsA_100bp.fasta -H 20 -osh $GOLD/A_h20.sam 2>/dev/null
 
-gzip -f $GOLD/testgen.X*
+for f in $GOLD/testgen.X*S; do gzip -f "$f"; done
 rm -rf $SCRATCH
 echo "goldens written to $GOLD"
 ls -la $GOLD

@@ -1,0 +1,121 @@
+"""k-mer index construction with byte-exact reference file output.
+
+Port of indexFile (Index.c:49-335), re-expressed as vectorized array ops:
+the reference's two rolling-hash genome scans become one vectorized hash +
+bincount + stable argsort (which reproduces the per-k-mer ascending
+reference-offset order of the two-pass fill), and the third pass is the
+order-preserving Floyd down-sampling with the fixed Marsaglia seed.
+
+The subtle part is *which* window positions are scanned when skipDist > 1:
+the scan starts on the grid {seqStart + k*skipDist} but renormalizes to the
+absolute grid {k*skipDist} after every run of non-ACGT codes
+(Index.c:108-117).  scan_positions() reproduces that exactly.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.rng import RandState
+from ..io.genome import Genome
+
+INDEX_FILE_VERSION = 0xFFFFFFFF  # (UINT)-1, Math.h:76
+
+
+def scan_positions(codes: np.ndarray, start: int, length: int,
+                   word_len: int, skip_dist: int) -> np.ndarray:
+    """Window start offsets the reference scan visits-and-counts.
+
+    Exact emulation of the skip/renormalize loop in Index.c:96-128 for one
+    sequence [start, start+length).
+    """
+    ending = start + length - word_len
+    if ending < start:
+        return np.empty(0, dtype=np.int64)
+    n = len(codes)
+    # Bad (non-ACGT) code positions at-or-after start.
+    bad = np.flatnonzero(codes[start:] > 3) + start
+    positions = []
+    base = start  # current grid anchor
+    bi = 0        # index into bad[] of first bad >= current window start
+    while base <= ending:
+        # First bad position >= base.
+        bi = np.searchsorted(bad, base)
+        p_bad = int(bad[bi]) if bi < len(bad) else n + word_len
+        # Windows on grid {base, base+s, ...} with window end before p_bad.
+        # Window [p, p+wl) is good iff p + wl - 1 < p_bad.
+        last_good_start = min(ending, p_bad - word_len)
+        if last_good_start >= base:
+            count = (last_good_start - base) // skip_dist + 1
+            positions.append(base + skip_dist * np.arange(count, dtype=np.int64))
+            next_window = base + count * skip_dist
+        else:
+            next_window = base
+        if next_window > ending or p_bad > n:
+            break
+        # The scan hit the bad code: skip the run of bad codes starting at
+        # p_bad + 1, then renormalize to the absolute skipDist grid.
+        cur = p_bad + 1
+        while cur < n and codes[cur] > 3:
+            cur += 1
+        base = ((cur + skip_dist - 1) // skip_dist) * skip_dist
+        if cur >= n:
+            break
+    if not positions:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(positions)
+
+
+def genome_scan_positions(genome: Genome, word_len: int,
+                          skip_dist: int) -> np.ndarray:
+    parts = [scan_positions(genome.codes, int(s), int(l), word_len, skip_dist)
+             for s, l in zip(genome.starting_offsets, genome.lengths)]
+    return (np.concatenate(parts) if parts
+            else np.empty(0, dtype=np.int64))
+
+
+def hash_windows(codes: np.ndarray, positions: np.ndarray,
+                 word_len: int) -> np.ndarray:
+    """2-bit hash per window: codes packed MSB-first (Index.c:32-43)."""
+    h = np.zeros(len(positions), dtype=np.int64)
+    c = codes.astype(np.int64)
+    for i in range(word_len):
+        h = (h << 2) | c[positions + i]
+    return h
+
+
+def build_index(genome: Genome, word_len: int, skip_dist: int,
+                max_hits: int):
+    """Returns (starting_offs[HTsize+1] uint32, roa uint32, total_matches)."""
+    ht_size = 1 << (2 * word_len)
+    positions = genome_scan_positions(genome, word_len, skip_dist)
+    hashes = hash_windows(genome.codes, positions, word_len)
+    counts = np.bincount(hashes, minlength=ht_size)
+    # Stable sort by hash preserves ascending position order per k-mer,
+    # matching the reference's in-scan-order ROA fill (Index.c:222-229).
+    order = np.argsort(hashes, kind="stable")
+    roa = positions[order].astype(np.uint32)
+
+    # Third pass: random down-sampling of k-mers over maxHits
+    # (Index.c:271-315).  RNG state flows across k-mers in ascending hash
+    # order from the fixed default Marsaglia seed.
+    over = np.flatnonzero(counts > max_hits)
+    if len(over):
+        rng = RandState.default()
+        so = np.zeros(ht_size + 1, dtype=np.int64)
+        np.cumsum(counts, out=so[1:])
+        pieces = []
+        prev = 0
+        for h in over:
+            lo, hi = int(so[h]), int(so[h + 1])
+            pieces.append(roa[prev:lo])
+            pieces.append(rng.rand_sample(roa[lo:hi], max_hits))
+            prev = hi
+        pieces.append(roa[prev:])
+        roa = np.ascontiguousarray(np.concatenate(pieces), dtype=np.uint32)
+        counts = np.minimum(counts, max_hits)
+
+    so64 = np.zeros(ht_size + 1, dtype=np.int64)
+    np.cumsum(counts, out=so64[1:])
+    starting_offs = so64.astype(np.uint32)
+    total_matches = int(so64[-1])
+    return starting_offs, roa, total_matches
