@@ -44,33 +44,42 @@ cp $SCRATCH/testgen.X10_03_65525S $GOLD/
 $YAHA -g $SCRATCH/testgen.nib2 -L 11 -H 20 2>/dev/null
 cp $SCRATCH/testgen.X11_01_00020S $GOLD/
 
-IDX=$SCRATCH/testgen.X11_01_65525S
+IDX=testgen.X11_01_65525S
 
 # --- SAM goldens ---
-run() {  # run <name> <readfile> <extra args...>
-  local name=$1; shift
+# Run from inside the scratch dir with canonical relative paths so the @PG
+# CL line (which embeds -q/-x/-o paths verbatim) is reproducible by parity
+# tests running in their own scratch dir.
+cp $DATA/reads*.fast[aq] $SCRATCH/
+REPO=$PWD
+cd $SCRATCH
+run() {  # run <outfile> <readfile> <extra args...>
+  local out=$1; shift
   local reads=$1; shift
-  $YAHA -x $IDX -q $DATA/$reads "$@" 2>/dev/null
+  $YAHA -x $IDX -q $reads "$@" $out 2>/dev/null
+  cp $out $REPO/$GOLD/$out
 }
 
-run a_default  readsA_100bp.fasta  -osh $GOLD/A_default.sam
-run a_soft     readsA_100bp.fasta  -oss $GOLD/A_soft.sam
-run a_fbs      readsA_100bp.fasta  -FBS Y -osh $GOLD/A_fbs.sam
-run a_all      readsA_100bp.fasta  -OQC N -osh $GOLD/A_all.sam
-run a_edit     readsA_100bp.fasta  -AGS N -osh $GOLD/A_edit.sam
-run a_blast8   readsA_100bp.fasta  -o8 $GOLD/A_blast8.out
-run b_default  readsB_500bp.fasta  -osh $GOLD/B_default.sam
-run b_fbs      readsB_500bp.fasta  -FBS Y -osh $GOLD/B_fbs.sam
-run c_default  readsC_1kb.fasta    -osh $GOLD/C_default.sam
-run c_params   readsC_1kb.fasta    -BW 3 -G 20 -M 15 -X 15 -osh $GOLD/C_params.sam
-run d_default  readsD_sv.fasta     -osh $GOLD/D_default.sam
-run d_fbs      readsD_sv.fasta     -FBS Y -osh $GOLD/D_fbs.sam
-run d_all      readsD_sv.fasta     -OQC N -osh $GOLD/D_all.sam
-run e_fastq    readsE_150bp.fastq  -osh $GOLD/E_fastq.sam
-run f_edge     readsF_edge.fasta   -osh $GOLD/F_edge.sam
+run A_default.sam  readsA_100bp.fasta  -osh
+run A_soft.sam     readsA_100bp.fasta  -oss
+run A_fbs.sam      readsA_100bp.fasta  -FBS Y -osh
+run A_all.sam      readsA_100bp.fasta  -OQC N -osh
+run A_edit.sam     readsA_100bp.fasta  -AGS N -osh
+run A_blast8.out   readsA_100bp.fasta  -o8
+run B_default.sam  readsB_500bp.fasta  -osh
+run B_fbs.sam      readsB_500bp.fasta  -FBS Y -osh
+run C_default.sam  readsC_1kb.fasta    -osh
+run C_params.sam   readsC_1kb.fasta    -BW 3 -G 20 -M 15 -X 15 -osh
+run D_default.sam  readsD_sv.fasta     -osh
+run D_fbs.sam      readsD_sv.fasta     -FBS Y -osh
+run D_all.sam      readsD_sv.fasta     -OQC N -osh
+run E_fastq.sam    readsE_150bp.fastq  -osh
+run F_edge.sam     readsF_edge.fasta   -osh
 
 # low maxHits index run (sampled index + query maxHits interplay)
-$YAHA -x $SCRATCH/testgen.X11_01_00020S -q $DATA/readsA_100bp.fasta -H 20 -osh $GOLD/A_h20.sam 2>/dev/null
+$YAHA -x testgen.X11_01_00020S -q readsA_100bp.fasta -H 20 -osh A_h20.sam 2>/dev/null
+cp A_h20.sam $REPO/$GOLD/A_h20.sam
+cd $REPO
 
 for f in $GOLD/testgen.X*S; do gzip -f "$f"; done
 rm -rf $SCRATCH

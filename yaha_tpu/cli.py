@@ -1,0 +1,285 @@
+"""Command line interface mirroring the reference flags and modes.
+
+Port of Main.c:187-671: one entry point, four operations (compress,
+uncompress, index, query) selected by flags; identical filename derivation
+(.nib2, .X{LL}_{SS}_{HHHHH}S) and validation messages.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+from .config import AlignmentArgs
+
+
+def _parse_bool(s, key):
+    if len(s) == 1:
+        if s in "YyTt":
+            return True
+        if s in "NnFf":
+            return False
+    print("%s is not a valid value for parameter %s." % (s, key),
+          file=sys.stderr)
+    sys.exit(1)
+
+
+def _parse_int(s, key):
+    v = int(s)
+    if v < 0:
+        print("%s is not a valid value for parameter %s." % (s, key),
+              file=sys.stderr)
+        sys.exit(1)
+    return v
+
+
+def _parse_float(s, key):
+    v = float(s)
+    if v <= 0.0 or v > 1.0:
+        print("%s is not a valid value for parameter %s." % (s, key),
+              file=sys.stderr)
+        sys.exit(1)
+    return v
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    aa = AlignmentArgs()
+    query = False
+    compress = False
+    uncompress = False
+    index = True
+
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a in ("-h", "-?", "-xh"):
+            print("yaha_tpu: TPU-native yaha-compatible aligner", file=sys.stderr)
+            return 0
+        elif a == "-g":
+            i += 1
+            aa.gfile_name = argv[i]
+        elif a == "-q":
+            i += 1
+            aa.qfile_name = argv[i]
+            query = True
+            index = False
+        elif a == "-o8":
+            aa.output_blast8 = True
+            aa.output_sam = False
+            i += 1
+            aa.ofile_name = argv[i]
+        elif a == "-osh":
+            aa.output_blast8 = False
+            aa.output_sam = True
+            aa.hard_clip = True
+            i += 1
+            aa.ofile_name = argv[i]
+        elif a == "-oss":
+            aa.output_blast8 = False
+            aa.output_sam = True
+            aa.hard_clip = False
+            i += 1
+            aa.ofile_name = argv[i]
+        elif a == "-t":
+            i += 1
+            aa.num_threads = _parse_int(argv[i], "-t")
+        elif a == "-v":
+            aa.verbose = True
+        elif a == "-x":
+            i += 1
+            aa.xfile_name = argv[i]
+            query = True
+            index = False
+        elif a == "-c":
+            compress = True
+            index = False
+        elif a == "-u":
+            uncompress = True
+            index = False
+        elif a == "-H":
+            i += 1
+            aa.max_hits = _parse_int(argv[i], "-H")
+        elif a == "-L":
+            i += 1
+            aa.word_len = _parse_int(argv[i], "-L")
+        elif a == "-S":
+            i += 1
+            aa.skip_dist = _parse_int(argv[i], "-S")
+        elif a == "-BW":
+            i += 1
+            aa.band_width = _parse_int(argv[i], "-BW")
+        elif a == "-G":
+            i += 1
+            aa.max_gap = _parse_int(argv[i], "-G")
+        elif a == "-M":
+            i += 1
+            aa.min_match = _parse_int(argv[i], "-M")
+        elif a == "-MD":
+            i += 1
+            aa.max_desert = _parse_int(argv[i], "-MD")
+        elif a == "-P":
+            i += 1
+            aa.min_identity = _parse_float(argv[i], "-P")
+        elif a == "-X":
+            i += 1
+            aa.x_cutoff = _parse_int(argv[i], "-X")
+        elif a == "-AGS":
+            i += 1
+            aa.affine_gap_scoring = _parse_bool(argv[i], "-AGS")
+        elif a == "-GEC":
+            i += 1
+            aa.ge_cost = _parse_int(argv[i], "-GEC")
+        elif a == "-GOC":
+            i += 1
+            aa.go_cost = _parse_int(argv[i], "-GOC")
+        elif a == "-MS":
+            i += 1
+            aa.m_score = _parse_int(argv[i], "-MS")
+        elif a == "-RC":
+            i += 1
+            aa.r_cost = _parse_int(argv[i], "-RC")
+        elif a == "-OQC":
+            i += 1
+            aa.oqc = _parse_bool(argv[i], "-OQC")
+        elif a == "-BP":
+            i += 1
+            aa.bp_cost = _parse_int(argv[i], "-BP")
+        elif a == "-MGDP":
+            i += 1
+            aa.max_bp_log = _parse_int(argv[i], "-MGDP")
+        elif a == "-MNO":
+            i += 1
+            aa.oqc_min_non_overlap = _parse_int(argv[i], "-MNO")
+        elif a == "-FBS":
+            i += 1
+            aa.fbs = _parse_bool(argv[i], "-FBS")
+        elif a == "-PRL":
+            i += 1
+            aa.fbs_ps_length = _parse_float(argv[i], "-PRL")
+        elif a == "-PSS":
+            i += 1
+            aa.fbs_ps_score = _parse_float(argv[i], "-PSS")
+        elif a == "-I":
+            i += 1
+            aa.max_intron = _parse_int(argv[i], "-I")
+        elif a == "-R":
+            i += 1
+            aa.min_raw_score = _parse_int(argv[i], "-R")
+        else:
+            print("%s is not a valid option.\n" % a, file=sys.stderr)
+            sys.exit(1)
+        i += 1
+
+    genome_is_fasta = False
+    if query:
+        if aa.xfile_name is None:
+            print("Index file specification (-x) is required for query "
+                  "alignment.", file=sys.stderr)
+            sys.exit(1)
+        base, _ = os.path.splitext(aa.xfile_name)
+        aa.gfile_name = base + ".nib2"
+    else:
+        ext = os.path.splitext(aa.gfile_name)[1]
+        if ext in (".fna", ".fa", ".fasta"):
+            genome_is_fasta = True
+        elif ext == ".nib2":
+            genome_is_fasta = False
+        else:
+            print('Expecting a ".fa", ".fna", ".fasta", or ".nib2" genome '
+                  'file.', file=sys.stderr)
+            sys.exit(1)
+
+    if uncompress:
+        aa.ofile_name = os.path.splitext(aa.gfile_name)[0] + ".fasta"
+    elif compress:
+        aa.ofile_name = os.path.splitext(aa.gfile_name)[0] + ".nib2"
+    elif query and aa.ofile_name is None:
+        aa.output_blast8 = False
+        aa.output_sam = True
+        aa.hard_clip = True
+        aa.ofile_name = "stdout"
+
+    aa.post_process(query)
+
+    if index:
+        ext = ".X%02d_%02d_%05dS" % (aa.word_len, aa.skip_dist, aa.max_hits)
+        aa.xfile_name = os.path.splitext(aa.gfile_name)[0] + ext
+
+    if compress:
+        _do_compress(aa)
+    elif uncompress:
+        _do_uncompress(aa)
+    elif query:
+        _do_query(aa)
+    elif index:
+        if aa.word_len > 15:
+            print("Word Length (-L) for index creation is currently "
+                  "restricted to < 16.", file=sys.stderr)
+            sys.exit(1)
+        if aa.skip_dist < 1 or aa.skip_dist > aa.word_len:
+            print("Skip Distance (-S) for index creation must be between 1 "
+                  "and WordLength (inclusive).", file=sys.stderr)
+            sys.exit(1)
+        if genome_is_fasta:
+            nib2_name = os.path.splitext(aa.gfile_name)[0] + ".nib2"
+            if (not os.path.exists(nib2_name) or
+                    os.path.getmtime(aa.gfile_name) >
+                    os.path.getmtime(nib2_name)):
+                aa.ofile_name = nib2_name
+                _do_compress(aa)
+            aa.gfile_name = nib2_name
+        _do_index(aa)
+    return 0
+
+
+def _do_compress(aa):
+    from .io import nib2
+    with open(aa.gfile_name, "rb") as f:
+        data = f.read()
+    with open(aa.ofile_name, "wb") as f:
+        f.write(nib2.compress_fasta_bytes(data))
+
+
+def _do_uncompress(aa):
+    from .io import nib2
+    with open(aa.gfile_name, "rb") as f:
+        genome = nib2.load(f.read())
+    with open(aa.ofile_name, "wb") as f:
+        f.write(nib2.uncompress_to_fasta(genome))
+
+
+def _do_index(aa):
+    from .io import nib2, index_io
+    from .index import build
+    with open(aa.gfile_name, "rb") as f:
+        genome = nib2.load(f.read())
+    so, roa, tm = build.build_index(genome, aa.word_len, aa.skip_dist,
+                                    aa.max_hits)
+    index_io.write_index(aa.xfile_name, aa.word_len, aa.max_hits, so, roa, tm)
+    print("Index %s created." % aa.xfile_name, file=sys.stderr)
+
+
+def _do_query(aa):
+    from .io import nib2, index_io
+    from .core import pipeline
+    with open(aa.gfile_name, "rb") as f:
+        genome = nib2.load(f.read())
+    index = index_io.load_index(aa.xfile_name)
+    aa.word_len = index.word_len
+    if index.max_hits < aa.max_hits:
+        print("WARNING: Index file made with maxHits of %d, while %d "
+              "specified for this query run.\nMimimum of two (%d) will be "
+              "used." % (index.max_hits, aa.max_hits, index.max_hits),
+              file=sys.stderr)
+        aa.max_hits = index.max_hits
+    with open(aa.qfile_name, "rb") as f:
+        qdata = f.read()
+    if aa.ofile_name in ("stdout", "-"):
+        pipeline.run_query_file(aa, genome, index, qdata, sys.stdout)
+    else:
+        with open(aa.ofile_name, "w") as out:
+            pipeline.run_query_file(aa, genome, index, qdata, out)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
