@@ -2,7 +2,10 @@ import os
 import sys
 
 # Force CPU + an 8-device virtual mesh for sharding tests before JAX import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon TPU plugin registers itself from sitecustomize when
+# PALLAS_AXON_POOL_IPS is set; clearing it keeps unit tests on CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 xf = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xf:
     os.environ["XLA_FLAGS"] = (

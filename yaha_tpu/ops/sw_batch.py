@@ -239,3 +239,180 @@ def traceback_extension(eo, idc, maxi, maxj, score, bw2, reverse):
     added_q = int(maxi)
     added_r = int(maxi) + (int(maxj) - bw2)
     return items, added_q, added_r
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("go", "ge", "rc", "ms", "max_gap", "max_intron"))
+def batched_anchored_forward(q, qlens, r, rlens, left_bw, right_bw, *,
+                             go, ge, rc, ms, max_gap, max_intron):
+    """Forward pass for N anchored (gap-fill) alignments.
+
+    A masked full-matrix reformulation that reproduces both reference
+    variants — full DP and banded DP with per-problem asymmetric
+    left/right bandwidths (SW.cpp:855-871) — in one batched kernel:
+    cells outside a problem's band are never updated and read as the same
+    DPWorst sentinels the banded code keeps at its band edges, so in-band
+    values, opcodes, and the backtrack are identical (in full-matrix
+    coordinates the banded anti-diagonal insert inits land on column 0 and
+    its row-0 Unknown lands on (0,0), exactly like full DP).  Callers
+    encode "full DP" as left_bw = right_bw >= max(qlen, rlen).  Tie rules
+    are the anchored ones (strict > for indels, SW.cpp:1036,1054).
+
+    Returns score [N] (= V at (qlen, rlen)), eo [N, QL+1, RL+1] int8,
+    idc [N, QL+1, RL+1] int32.
+    """
+    n, ql_max = q.shape
+    rl_max = r.shape[1]
+    int32 = jnp.int32
+    qlens = qlens.astype(int32)
+    rlens = rlens.astype(int32)
+    left_bw = left_bw.astype(int32)
+    right_bw = right_bw.astype(int32)
+    wid = rl_max + 1
+
+    rj = jnp.arange(wid)
+    # Row 0: delete boundary for rj in [1, min(rlen, right_bw)].  (Under
+    # the reference banded/full selection heuristic rightBW <= rLen for
+    # banded problems, so the caps are equivalent to the banded init.)
+    row0_live = (rj[None, :] >= 1) & (rj[None, :] <= right_bw[:, None]) \
+        & (rj[None, :] <= rlens[:, None])
+    pv0 = jnp.where(row0_live, -(go + rj[None, :] * ge), DP_WORST)
+    pv0 = pv0.at[:, 0].set(0).astype(int32)
+    pf0 = jnp.full((n, wid + 1), DP_WORST, int32)
+    pi0 = jnp.zeros((n, wid + 1), int32)
+    pv0 = jnp.concatenate([pv0, jnp.full((n, 1), DP_WORST, int32)], axis=1)
+
+    eo = jnp.zeros((n, ql_max + 1, wid), jnp.int8)
+    idc = jnp.zeros((n, ql_max + 1, wid), int32)
+    eo = eo.at[:, 0, :].set(
+        jnp.where(row0_live, OP_DELETE, OP_UNKNOWN).astype(jnp.int8))
+    idc = idc.at[:, 0, :].set(jnp.where(row0_live, rj[None, :], 0))
+    # First-column insert boundary, rows 1..min(qlen, left_bw).
+    i_rows = jnp.arange(ql_max + 1)
+    col0_live = (i_rows[None, :] >= 1) & \
+        (i_rows[None, :] <= left_bw[:, None]) & \
+        (i_rows[None, :] <= qlens[:, None])
+    eo = eo.at[:, :, 0].set(
+        jnp.where(col0_live, OP_INSERT, OP_UNKNOWN).astype(jnp.int8))
+    idc = idc.at[:, :, 0].set(jnp.where(col0_live, i_rows[None, :], 0))
+
+    score0 = jnp.full((n,), DP_WORST, int32)
+
+    def row_body(i, state):
+        (pv, pf, pi, eo, idc, score) = state
+        row_active = i <= qlens
+        q_char = jax.lax.dynamic_index_in_dim(q, i - 1, axis=1,
+                                              keepdims=False)
+        eo_row = jax.lax.dynamic_slice_in_dim(eo, i, 1, axis=1)[:, 0]
+        idc_row = jax.lax.dynamic_slice_in_dim(idc, i, 1, axis=1)[:, 0]
+        # New-row V buffer: cells never written stay DPWorst, which is what
+        # out-of-band reads must see; column 0 is the insert boundary while
+        # in band, stale (and unread) after the band passes it.
+        v_new = jnp.full((n, wid + 1), DP_WORST, int32)
+        v_new = v_new.at[:, 0].set(
+            jnp.where(row_active & (i <= left_bw), -(go + i * ge),
+                      pv[:, 0]))
+
+        def col_step(j, cstate):
+            (pe_col, pd_col, pv_col, v_new, pf_cur, pi_cur, eo_row,
+             idc_row, score) = cstate
+            in_band = (j >= jnp.maximum(i - left_bw, 1)) & \
+                (j <= jnp.minimum(i + right_bw, rlens))
+            active = row_active & in_band
+            v = pv[:, j - 1]
+            r_char = r[:, j - 1]
+            is_match = q_char == r_char
+            g = jnp.where(is_match, v + ms, v - rc)
+            opcode = jnp.where(is_match, OP_MATCH,
+                               OP_REPLACE).astype(jnp.int8)
+            cell_idc = jnp.zeros((n,), int32)
+
+            ce = pe_col - ge
+            ne = pv_col - (go + ge)
+            cont_d = (ce >= ne) & (pd_col + 1 <= max_intron)
+            pe_new = jnp.where(cont_d, ce, ne)
+            pd_new = jnp.where(cont_d, pd_col + 1, 1)
+            take_d = pe_new > g          # anchored tie rule: >
+            v1 = jnp.where(take_d, pe_new, g)
+            opcode = jnp.where(take_d, OP_DELETE, opcode).astype(jnp.int8)
+            cell_idc = jnp.where(take_d, pd_new, cell_idc)
+
+            cf = pf_cur[:, j] - ge
+            nf = pv[:, j] - (go + ge)
+            cont_f = (cf >= nf) & (pi_cur[:, j] + 1 <= max_gap)
+            f = jnp.where(cont_f, cf, nf)
+            ii = jnp.where(cont_f, pi_cur[:, j] + 1, 1)
+            take_f = f > v1
+            v2 = jnp.where(take_f, f, v1)
+            opcode = jnp.where(take_f, OP_INSERT, opcode).astype(jnp.int8)
+            cell_idc = jnp.where(take_f, ii, cell_idc)
+
+            pf_cur = pf_cur.at[:, j].set(jnp.where(active, f, pf_cur[:, j]))
+            pi_cur = pi_cur.at[:, j].set(jnp.where(active, ii,
+                                                   pi_cur[:, j]))
+            eo_row = eo_row.at[:, j].set(jnp.where(active, opcode,
+                                                   eo_row[:, j]))
+            idc_row = idc_row.at[:, j].set(jnp.where(active, cell_idc,
+                                                     idc_row[:, j]))
+            v_new = v_new.at[:, j].set(jnp.where(active, v2, v_new[:, j]))
+            score = jnp.where(active & (i == qlens) & (j == rlens), v2,
+                              score)
+            pe_col = jnp.where(active, pe_new, pe_col)
+            pd_col = jnp.where(active, pd_new, pd_col)
+            pv_col = jnp.where(active, v2, pv_col)
+            return (pe_col, pd_col, pv_col, v_new, pf_cur, pi_cur, eo_row,
+                    idc_row, score)
+
+        pv_col0 = jnp.where(i <= left_bw, -(go + i * ge),
+                            DP_WORST).astype(int32)
+        cstate = (jnp.full((n,), DP_WORST, int32), jnp.zeros((n,), int32),
+                  pv_col0, v_new, pf, pi, eo_row, idc_row, score)
+        cstate = jax.lax.fori_loop(1, wid, col_step, cstate)
+        (_, _, _, v_new, pf, pi, eo_row, idc_row, score) = cstate
+        eo = jax.lax.dynamic_update_slice_in_dim(eo, eo_row[:, None, :], i,
+                                                 axis=1)
+        idc = jax.lax.dynamic_update_slice_in_dim(idc, idc_row[:, None, :],
+                                                  i, axis=1)
+        pv2 = jnp.where(row_active[:, None], v_new, pv)
+        return (pv2, pf, pi, eo, idc, score)
+
+    state = (pv0, pf0, pi0, eo, idc, score0)
+    state = jax.lax.fori_loop(1, ql_max + 1, row_body, state)
+    (_, _, _, eo, idc, score) = state
+    return {"score": score, "eo": eo, "idc": idc}
+
+
+def traceback_anchored(eo, idc, qlen, rlen):
+    """Host run-length decode for anchored problems (full coordinates).
+
+    Mirrors the non-banded backtrack arm (SW.cpp:1172-1178); banded
+    problems computed by batched_anchored_forward land on the same cells
+    in full coordinates.
+    """
+    x = int(rlen)
+    y = int(qlen)
+    prev = int(eo[y][x])
+    op_len = 0
+    items = []
+    while True:
+        code = int(eo[y][x])
+        if code == OP_UNKNOWN:
+            break
+        length = int(idc[y][x])
+        if code == OP_DELETE:
+            x -= length
+        elif code == OP_INSERT:
+            y -= length
+        else:
+            x -= 1
+            y -= 1
+            length = 1
+        if prev != code:
+            items.insert(0, [OP_CHARS[prev], op_len])
+            prev = code
+            op_len = length
+        else:
+            op_len += length
+    items.insert(0, [OP_CHARS[prev], op_len])
+    return items

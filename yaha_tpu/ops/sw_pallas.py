@@ -1,0 +1,255 @@
+"""Pallas TPU kernel for the banded X-dropoff extension DP.
+
+The speed-of-light component (BASELINE.json): thousands of independent
+banded extensions per launch.  Layout maps the hardware directly:
+
+  * problems are packed onto the VPU grid — 8 sublanes x 128 lanes = 1024
+    problems per tile, every DP cell op an [8,128] elementwise op;
+  * the band (W = 4*bandWidth+1, static) is walked sequentially inside a
+    row exactly like the reference inner loop (SW.cpp:1007-1084), keeping
+    the delete-chain dependency and every tie-break bit-exact;
+  * the grid's minor dimension is the query row: VMEM scratch (PV/PF/PI,
+    trackers) persists across grid steps, and the per-row backtrack slices
+    (op codes + indel run lengths) stream to HBM through the automatic
+    output pipeline;
+  * the X-dropoff early exit is a per-problem done mask; fully-masked rows
+    still iterate but their lanes do no state updates.
+
+Bit-identical to ops/sw_batch.batched_extension_forward (tested), which is
+itself bit-identical to the scalar oracle ported from SW.cpp.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sw_batch import (DP_WORST, OP_UNKNOWN, OP_MATCH, OP_REPLACE,
+                       OP_INSERT, OP_DELETE)
+
+SUB = 8
+LANE = 128
+TILE = SUB * LANE  # problems per tile
+
+
+def _ext_kernel(q_ref, r_ref, qlens_ref, rlens_ref,
+                eo_out, idc_out, score_out, maxi_out, maxj_out,
+                pv, pf, pi, max_score, maxi, maxj, done,
+                *, w, bw2, go, ge, rc, ms, max_gap, max_intron, x_cutoff):
+    g = pl.program_id(1)  # 0 = row-0 init, else query row i = g
+    i32 = jnp.int32
+
+    def full(v, dtype=i32):
+        return jnp.full((SUB, LANE), v, dtype)
+
+    @pl.when(g == 0)
+    def _init():
+        # Row-0 init (SW.cpp:899-933); band-edge sentinels at index w.
+        for j in range(w + 1):
+            if j < bw2:
+                pv[j] = full(DP_WORST)
+                pf[j] = full(DP_WORST)
+            elif j == bw2:
+                pv[j] = full(0)
+                pf[j] = full(0)
+            elif j < w:
+                dc = j - bw2
+                pv[j] = full(-(go + dc * ge))
+                pf[j] = full(DP_WORST)
+            else:
+                pv[j] = full(DP_WORST)
+                pf[j] = full(DP_WORST)
+            pi[j] = full(0)
+            if j < w:
+                if j > bw2:
+                    eo_out[0, j, 0] = full(OP_DELETE, jnp.int8)
+                    idc_out[0, j, 0] = full(j - bw2, jnp.int16)
+                else:
+                    eo_out[0, j, 0] = full(OP_UNKNOWN, jnp.int8)
+                    idc_out[0, j, 0] = full(0, jnp.int16)
+        max_score[0] = full(DP_WORST)
+        maxi[0] = full(0)
+        maxj[0] = full(0)
+        done[0] = full(0)
+
+    @pl.when(g > 0)
+    def _row():
+        i = g
+        qlens = qlens_ref[0]
+        rlens = rlens_ref[0]
+        row_active = (done[0] == 0) & (i <= qlens)
+        start_col = jnp.maximum(bw2 + 1 - i, 0)
+        end_col = jnp.minimum(bw2 + rlens - i, w - 1)
+        edge = i <= bw2
+        edge_val = full(0) - (go + i * ge)
+
+        # PVRow[startCol-1] edge write (only when i <= bw2).
+        @pl.when(edge)
+        def _():
+            pv[jnp.maximum(bw2 - i, 0)] = edge_val
+
+        q_char = q_ref[i - 1, 0].astype(i32)
+
+        def col_step(j, carry):
+            pe_col, pd_col, pv_col, row_max, best_v, best_j = carry
+            active = row_active & (j >= start_col) & (j <= end_col)
+            v = pv[j]
+            r_char = r_ref[i - 1 + j, 0].astype(i32)
+            # Arithmetic form of codesEqual to sidestep a Mosaic i1-layout
+            # issue with eq on dynamically indexed loads.
+            neq = jnp.minimum(jnp.abs(q_char - r_char), 1)
+            gscore = v + ms - neq * (ms + rc)
+            opcode = full(OP_MATCH) + neq * (OP_REPLACE - OP_MATCH)
+            cell_idc = full(0)
+
+            # Delete, checked first (SW.cpp:1026-1041).
+            ce = pe_col - ge
+            ne = pv_col - (go + ge)
+            cont_d = (ce >= ne) & (pd_col + 1 <= max_intron)
+            pe_new = jnp.where(cont_d, ce, ne)
+            pd_new = jnp.where(cont_d, pd_col + 1, full(1))
+            take_d = pe_new >= gscore   # extension tie rule: >=
+            v1 = jnp.where(take_d, pe_new, gscore)
+            opcode = jnp.where(take_d, full(OP_DELETE), opcode)
+            cell_idc = jnp.where(take_d, pd_new, cell_idc)
+
+            # Insert (SW.cpp:1043-1060).
+            cf = pf[j + 1] - ge
+            nf = pv[j + 1] - (go + ge)
+            cont_f = (cf >= nf) & (pi[j + 1] + 1 <= max_gap)
+            f = jnp.where(cont_f, cf, nf)
+            ii = jnp.where(cont_f, pi[j + 1] + 1, full(1))
+            take_f = f >= v1
+            v2 = jnp.where(take_f, f, v1)
+            opcode = jnp.where(take_f, full(OP_INSERT), opcode)
+            cell_idc = jnp.where(take_f, ii, cell_idc)
+
+            pf[j] = jnp.where(active, f, pf[j])
+            pi[j] = jnp.where(active, ii, pi[j])
+            # The anti-diagonal insert init lives at j == bw2 - i, which is
+            # below startCol for this row (SW.cpp:925-933).
+            init_cell = edge & (j == bw2 - i)
+            eo_fill = jnp.where(init_cell, full(OP_INSERT), full(OP_UNKNOWN))
+            idc_fill = jnp.where(init_cell, full(i), full(0))
+            eo_out[0, j, 0] = jnp.where(active, opcode,
+                                        eo_fill).astype(jnp.int8)
+            idc_out[0, j, 0] = jnp.where(active, cell_idc,
+                                         idc_fill).astype(jnp.int16)
+            pv[j] = jnp.where(active, v2, pv[j])
+
+            row_max = jnp.where(active, jnp.maximum(row_max, v2), row_max)
+            upd = active & (v2 > best_v)
+            best_v = jnp.where(upd, v2, best_v)
+            best_j = jnp.where(upd, full(j), best_j)
+
+            pe_col = jnp.where(active, pe_new, pe_col)
+            pd_col = jnp.where(active, pd_new, pd_col)
+            pv_col = jnp.where(active, v2, pv_col)
+            return pe_col, pd_col, pv_col, row_max, best_v, best_j
+
+        carry = (full(DP_WORST),                                   # PECol
+                 full(0),                                          # PDCol
+                 jnp.where(edge, edge_val, full(DP_WORST)),        # PVCol
+                 full(DP_WORST),                                   # rowMax
+                 full(DP_WORST),                                   # best V
+                 full(0))                                          # best j
+        carry = jax.lax.fori_loop(0, w, col_step, carry)
+        _, _, _, row_max, best_v, best_j = carry
+
+        upd = row_active & (best_v > max_score[0])
+        max_score[0] = jnp.where(upd, best_v, max_score[0])
+        maxi[0] = jnp.where(upd, full(i), maxi[0])
+        maxj[0] = jnp.where(upd, best_j, maxj[0])
+        newly_done = row_active & (row_max < max_score[0] - x_cutoff)
+        done[0] = jnp.where(newly_done | (i >= qlens), full(1), done[0])
+
+    score_out[0, 0] = max_score[0]
+    maxi_out[0, 0] = maxi[0]
+    maxj_out[0, 0] = maxj[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("band_width", "go", "ge", "rc", "ms", "max_gap",
+                     "max_intron", "x_cutoff", "interpret"))
+def extension_forward_pallas(q, qlens, r, rlens, *, band_width, go, ge, rc,
+                             ms, max_gap, max_intron, x_cutoff,
+                             interpret=False):
+    """Pallas forward pass; same contract as batched_extension_forward but
+    with N a multiple of TILE=1024.
+
+    q: [N, QL] uint8, r: [N, RL] with RL >= QL + 2*bw2.
+    Returns score/maxi/maxj [N], eo [N, QL+1, W] int8,
+    idc [N, QL+1, W] int16.
+    """
+    n, ql_max = q.shape
+    assert n % TILE == 0, n
+    tiles = n // TILE
+    bw2 = 2 * band_width
+    w = 2 * bw2 + 1
+
+    # Device layout: [len, tiles, SUB, LANE].
+    q_t = q.reshape(tiles, SUB, LANE, ql_max).transpose(3, 0, 1, 2)
+    r_pad = jnp.pad(r, ((0, 0), (bw2, w)), constant_values=255)
+    r_t = r_pad.reshape(tiles, SUB, LANE,
+                        r_pad.shape[1]).transpose(3, 0, 1, 2)
+    qlens_t = qlens.astype(jnp.int32).reshape(tiles, SUB, LANE)
+    rlens_t = rlens.astype(jnp.int32).reshape(tiles, SUB, LANE)
+
+    grid = (tiles, ql_max + 1)
+    kernel = functools.partial(
+        _ext_kernel, w=w, bw2=bw2, go=go, ge=ge, rc=rc, ms=ms,
+        max_gap=max_gap, max_intron=max_intron, x_cutoff=x_cutoff)
+
+    rl_pad = r_t.shape[0]
+    out_shapes = (
+        jax.ShapeDtypeStruct((ql_max + 1, w, tiles, SUB, LANE), jnp.int8),
+        jax.ShapeDtypeStruct((ql_max + 1, w, tiles, SUB, LANE), jnp.int16),
+        jax.ShapeDtypeStruct((1, tiles, SUB, LANE), jnp.int32),
+        jax.ShapeDtypeStruct((1, tiles, SUB, LANE), jnp.int32),
+        jax.ShapeDtypeStruct((1, tiles, SUB, LANE), jnp.int32),
+    )
+    eo, idc, score, maxi, maxj = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ql_max, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
+            pl.BlockSpec((rl_pad, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
+            pl.BlockSpec((1, SUB, LANE), lambda t, g: (t, 0, 0)),
+            pl.BlockSpec((1, SUB, LANE), lambda t, g: (t, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, w, 1, SUB, LANE), lambda t, g: (g, 0, t, 0, 0)),
+            pl.BlockSpec((1, w, 1, SUB, LANE), lambda t, g: (g, 0, t, 0, 0)),
+            pl.BlockSpec((1, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
+            pl.BlockSpec((1, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
+            pl.BlockSpec((1, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((w + 2, SUB, LANE), jnp.int32),  # PV
+            pltpu.VMEM((w + 2, SUB, LANE), jnp.int32),  # PF
+            pltpu.VMEM((w + 2, SUB, LANE), jnp.int32),  # PI
+            pltpu.VMEM((1, SUB, LANE), jnp.int32),      # maxScore
+            pltpu.VMEM((1, SUB, LANE), jnp.int32),      # maxi
+            pltpu.VMEM((1, SUB, LANE), jnp.int32),      # maxj
+            pltpu.VMEM((1, SUB, LANE), jnp.int32),      # done
+        ],
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(q_t, r_t, qlens_t, rlens_t)
+
+    def from_tiles(x):
+        t_axis = x.ndim - 3
+        x = jnp.moveaxis(x, (t_axis, t_axis + 1, t_axis + 2), (0, 1, 2))
+        return x.reshape((n,) + x.shape[3:])
+
+    eo = from_tiles(eo)          # [N, QL+1, W]
+    idc = from_tiles(idc)
+    score = from_tiles(score)[:, 0]
+    maxi = from_tiles(maxi)[:, 0]
+    maxj = from_tiles(maxj)[:, 0]
+    return {"score": score, "maxi": maxi, "maxj": maxj, "eo": eo,
+            "idc": idc}
