@@ -1,0 +1,339 @@
+"""Batched aligner: the TPU-structured pipeline with host orchestration.
+
+Restructures the reference's per-clump sequential alignment
+(postProcessClumps -> alignClump -> scoreClump, QueryMatch.c:306-331) into
+DP *phases* batched across every clump of every read in the batch:
+
+  phase A  gap-fill DPs   (makeAndAlignSFragmentToFillGap's DP arm)
+  phase B  extension DPs  (extendClumpForwardReverse's DP arm)
+
+All problems within a phase are independent in the reference (anchored
+both ends / anchored one end with inputs fixed before any DP runs), so
+batching preserves byte-parity; the parity suite runs end-to-end through
+this path.  Backends: 'numpy' (host twin), 'xla' (jit), 'pallas' (TPU
+kernel for extensions).
+
+Splits and careful re-extensions are rare (clumpSplit flag) and stay on
+the scalar oracle path.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import sw
+from ..core.align import (extend_backward_perfect, extend_forward_perfect,
+                          collapse_sfragments, score_clump)
+from ..core.clumps import SFragment
+from ..core.editops import EditOpList, MATCH, REPLACE, INSERT, DELETE
+from ..core.frags import calc_gap_cost, calc_query_gap, calc_ref_gap
+from ..core.chain import process_fragments_gapped
+from ..core.frags import seed_hits, find_fragments
+from ..core.oqc import post_filter_by_similarity, post_filter_remove_dups
+from ..core.pipeline import QueryState
+from ..io import sam
+from ..ops import sw_batch, sw_numpy
+
+M32 = 0xFFFFFFFF
+
+
+class _GapProblem:
+    __slots__ = ("sfrag", "q", "r", "qlen", "rlen", "lbw", "rbw")
+
+    def __init__(self, sfrag, q, r, qlen, rlen, lbw, rbw):
+        self.sfrag = sfrag
+        self.q = q
+        self.r = r
+        self.qlen = qlen
+        self.rlen = rlen
+        self.lbw = lbw
+        self.rbw = rbw
+
+
+class _ExtProblem:
+    __slots__ = ("clump", "sfrag", "q", "r", "qlen", "rlen", "reverse")
+
+    def __init__(self, clump, sfrag, q, r, qlen, rlen, reverse):
+        self.clump = clump
+        self.sfrag = sfrag
+        self.q = q
+        self.r = r
+        self.qlen = qlen
+        self.rlen = rlen
+        self.reverse = reverse
+
+
+class BatchAligner:
+    """Aligns batches of reads; DP phases run through batched kernels."""
+
+    def __init__(self, aa, genome, index, backend="numpy"):
+        self.aa = aa
+        self.genome = genome
+        self.index = index
+        self.backend = backend
+
+    # ----- phase A: gap fill -----
+
+    def _collect_gap_problems(self, clump, qs, problems):
+        """alignClump's pre-DP stages (AlignHelpers.c:205-262) with the DP
+        cascade arm deferred into `problems`."""
+        aa = self.aa
+        genome = qs.genome_codes
+        q_codes = qs.clump_query_codes(clump)
+        sfrags = clump.sfrags
+        for k in range(len(sfrags) - 1):
+            frag1 = sfrags[k].frag
+            frag2 = sfrags[k + 1].frag
+            gap = min(calc_query_gap(frag1, frag2),
+                      calc_ref_gap(frag1, frag2))
+            gap -= extend_backward_perfect(frag2, genome, q_codes, gap)
+            gap -= extend_forward_perfect(frag1, genome, q_codes, gap)
+        for sf in sfrags:
+            q_len = sf.frag.q_len
+            sf.eol.add_front(MATCH, q_len)
+            sf.score = aa.m_score * q_len
+        i = 0
+        while i < len(sfrags) - 1:
+            frag1 = sfrags[i].frag
+            frag2 = sfrags[i + 1].frag
+            q_gap = calc_query_gap(frag1, frag2)
+            r_gap = calc_ref_gap(frag1, frag2)
+            if q_gap == 0 and r_gap == 0:
+                i += 1
+                continue
+            new_sf = SFragment()
+            nf = new_sf.frag
+            nf.sqo = frag1.eqo + 1
+            nf.eqo = frag2.sqo - 1
+            nf.sro = (frag1.ero + 1) & M32
+            nf.set_ero(frag2.sro - 1)
+            if q_gap == 0:
+                new_sf.eol.add_front(DELETE, r_gap)
+                new_sf.score = calc_gap_cost(r_gap, aa)
+            elif r_gap == 0:
+                new_sf.eol.add_front(INSERT, q_gap)
+                new_sf.score = calc_gap_cost(q_gap, aa)
+            elif r_gap == 1 and q_gap == 1:
+                new_sf.eol.add_front(REPLACE, 1)
+                new_sf.score = -aa.r_cost
+            else:
+                len_diff = abs(q_gap - r_gap)
+                banded = len_diff + aa.band_width * 2 + 1 < r_gap
+                if banded:
+                    if r_gap > q_gap:
+                        lbw = aa.band_width
+                        rbw = aa.band_width + (r_gap - q_gap)
+                    else:
+                        lbw = aa.band_width + (q_gap - r_gap)
+                        rbw = aa.band_width
+                else:
+                    lbw = rbw = max(q_gap, r_gap) + 1
+                problems.append(_GapProblem(
+                    new_sf,
+                    np.asarray(q_codes[nf.sqo:nf.sqo + q_gap]),
+                    np.asarray(genome[nf.sro:nf.sro + r_gap]),
+                    q_gap, r_gap, lbw, rbw))
+            sfrags.insert(i + 1, new_sf)
+            i += 1
+
+    def _run_gap_problems(self, problems):
+        if not problems:
+            return
+        n = len(problems)
+        qg = max(p.qlen for p in problems)
+        rg = max(p.rlen for p in problems)
+        qa = np.zeros((n, qg), np.uint8)
+        ra = np.zeros((n, rg), np.uint8)
+        qlens = np.zeros(n, np.int64)
+        rlens = np.zeros(n, np.int64)
+        lbws = np.zeros(n, np.int64)
+        rbws = np.zeros(n, np.int64)
+        for k, p in enumerate(problems):
+            qa[k, :p.qlen] = p.q
+            ra[k, :p.rlen] = p.r
+            qlens[k], rlens[k] = p.qlen, p.rlen
+            lbws[k], rbws[k] = p.lbw, p.rbw
+        kw = dict(go=self.aa.go_cost, ge=self.aa.ge_cost, rc=self.aa.r_cost,
+                  ms=self.aa.m_score, max_gap=self.aa.max_gap,
+                  max_intron=self.aa.max_intron)
+        if self.backend == "numpy":
+            out = sw_numpy.batched_anchored_forward_np(
+                qa, qlens, ra, rlens, lbws, rbws, **kw)
+        else:
+            out = sw_batch.batched_anchored_forward(
+                qa, qlens, ra, rlens, lbws, rbws, **kw)
+            out = {k2: np.asarray(v) for k2, v in out.items()}
+        for k, p in enumerate(problems):
+            items = sw_batch.traceback_anchored(out["eo"][k], out["idc"][k],
+                                                p.qlen, p.rlen)
+            p.sfrag.eol.items = items
+            p.sfrag.score = int(out["score"][k])
+
+    # ----- phase B: clump extensions -----
+
+    def _collect_ext_problems(self, clump, qs, problems):
+        """extendClumpForwardReverse's perfect stage + DP deferral
+        (AlignExtFrag.cpp:64-144, non-careful arms)."""
+        aa = self.aa
+        sf = clump.sfrags[0]
+        frag = sf.frag
+        lst = clump.eol
+        genome = qs.genome_codes
+        q_codes = qs.clump_query_codes(clump)
+        score = sf.score
+
+        back_len = min(frag.sqo, frag.sro)
+        if back_len > 0:
+            nm = extend_backward_perfect(frag, genome, q_codes, back_len)
+            if nm > 0:
+                lst.first()[1] += nm
+                score += nm * aa.m_score
+                back_len -= nm
+        qlen = (qs.query_len - 1) - frag.eqo
+        rlen = qs.max_roff - frag.ero
+        forw_len = min(qlen, rlen)
+        if forw_len > 0:
+            nm = extend_forward_perfect(frag, genome, q_codes, forw_len)
+            if nm > 0:
+                lst.last()[1] += nm
+                score += nm * aa.m_score
+                forw_len -= nm
+        sf.score = score
+
+        bw2 = 2 * aa.band_width
+        if back_len >= aa.min_ext_length:
+            # findAGSExtension<TRUE> trimming (SW.cpp:496-507).
+            q_len = back_len
+            r_off = frag.sro - 1
+            r_len = q_len + bw2
+            if r_len > r_off:
+                r_len = r_off + 1
+                q_len = r_len - bw2
+            if q_len > 0:
+                q_off = frag.sqo - 1
+                q_slice = np.asarray(
+                    q_codes[q_off - q_len + 1:q_off + 1][::-1])
+                r_slice = np.asarray(
+                    genome[r_off - r_len + 1:r_off + 1][::-1])
+                problems.append(_ExtProblem(clump, sf, q_slice, r_slice,
+                                            q_len, r_len, True))
+        if forw_len >= aa.min_ext_length:
+            q_len = forw_len
+            r_off = frag.ero + 1
+            r_len = q_len + bw2
+            if r_off + r_len > qs.max_roff:
+                r_len = qs.max_roff - r_off
+                q_len = r_len - bw2
+            if q_len > 0:
+                q_off = frag.eqo + 1
+                q_slice = np.asarray(q_codes[q_off:q_off + q_len])
+                r_slice = np.asarray(genome[r_off:r_off + r_len])
+                problems.append(_ExtProblem(clump, sf, q_slice, r_slice,
+                                            q_len, r_len, False))
+
+    def _run_ext_problems(self, problems):
+        if not problems:
+            return
+        aa = self.aa
+        bw2 = 2 * aa.band_width
+        n = len(problems)
+        ql = max(p.qlen for p in problems)
+        rl = ql + 2 * bw2
+        qa = np.zeros((n, ql), np.uint8)
+        ra = np.full((n, rl), 255, np.uint8)
+        qlens = np.zeros(n, np.int64)
+        rlens = np.zeros(n, np.int64)
+        for k, p in enumerate(problems):
+            qa[k, :p.qlen] = p.q
+            ra[k, :p.rlen] = p.r
+            qlens[k], rlens[k] = p.qlen, p.rlen
+        kw = dict(band_width=aa.band_width, go=aa.go_cost, ge=aa.ge_cost,
+                  rc=aa.r_cost, ms=aa.m_score, max_gap=aa.max_gap,
+                  max_intron=aa.max_intron, x_cutoff=aa.x_cutoff)
+        if self.backend == "numpy":
+            out = sw_numpy.batched_extension_forward_np(
+                qa, qlens, ra, rlens, **kw)
+        elif self.backend == "pallas":
+            from ..ops import sw_pallas
+            pad = (-n) % sw_pallas.TILE
+            out = sw_pallas.extension_forward_pallas(
+                np.pad(qa, ((0, pad), (0, 0))),
+                np.pad(qlens, (0, pad)),
+                np.pad(ra, ((0, pad), (0, 0)), constant_values=255),
+                np.pad(rlens, (0, pad)), **kw)
+            out = {k2: np.asarray(v)[:n] for k2, v in out.items()}
+        else:
+            out = sw_batch.batched_extension_forward(
+                qa, qlens, ra, rlens, **kw)
+            out = {k2: np.asarray(v) for k2, v in out.items()}
+        for k, p in enumerate(problems):
+            score = int(out["score"][k])
+            items, aq, ar = sw_batch.traceback_extension(
+                out["eo"][k], out["idc"][k], int(out["maxi"][k]),
+                int(out["maxj"][k]), score, bw2, p.reverse)
+            if score <= 0:
+                continue
+            tmp = EditOpList(items)
+            frag = p.sfrag.frag
+            if p.reverse:
+                p.clump.eol.merge_to_front(tmp)
+                frag.add_q_front(aq)
+                frag.add_r_front(ar)
+            else:
+                p.clump.eol.merge_to_back(tmp)
+                frag.add_q_back(aq)
+                frag.add_r_back(ar)
+            p.sfrag.score += score
+
+    # ----- batch driver -----
+
+    def align_batch(self, records) -> list[str]:
+        """Align a list of QueryRecords; returns per-read output text."""
+        aa = self.aa
+        states = []
+        for rec in records:
+            qs = QueryState(aa, self.genome, self.index)
+            qs.set_query(rec)
+            for rev in (False, True):
+                qs.reversed = rev
+                codes = qs.reverse_codes if rev else qs.forward_codes
+                offsets, so_offs, counts = seed_hits(codes, self.index,
+                                                     aa.max_hits)
+                if counts.sum() == 0:
+                    continue
+                frags = find_fragments(offsets, so_offs, counts,
+                                       self.index.roa, self.index.word_len)
+                process_fragments_gapped(aa, qs, frags)
+            states.append(qs)
+
+        # Phase A across the whole batch.
+        gap_problems = []
+        for qs in states:
+            for clump in qs.clumps:
+                self._collect_gap_problems(clump, qs, gap_problems)
+        self._run_gap_problems(gap_problems)
+
+        # Collapse + phase B.
+        ext_problems = []
+        for qs in states:
+            for clump in qs.clumps:
+                collapse_sfragments(clump)
+                self._collect_ext_problems(clump, qs, ext_problems)
+        self._run_ext_problems(ext_problems)
+
+        # Scoring (splits fall back to the oracle path), filter, output.
+        outputs = []
+        for qs in states:
+            clumps = qs.clumps
+            qs.clumps = []
+            for clump in clumps:
+                clump.aligned = True
+                score_clump(clump, aa, qs)
+                if clump.scored:
+                    qs.clumps.insert(0, clump)
+            if aa.oqc:
+                post_filter_by_similarity(aa, qs)
+            else:
+                post_filter_remove_dups(aa, qs)
+            outputs.append("".join(sam.print_clump(c, aa, qs)
+                                   for c in qs.clumps))
+        return outputs
