@@ -141,6 +141,9 @@ class BatchAligner:
         n = len(problems)
         qg = max(p.qlen for p in problems)
         rg = max(p.rlen for p in problems)
+        if self.backend != "numpy":
+            qg = max(32, 1 << (qg - 1).bit_length())
+            rg = max(32, 1 << (rg - 1).bit_length())
         qa = np.zeros((n, qg), np.uint8)
         ra = np.zeros((n, rg), np.uint8)
         qlens = np.zeros(n, np.int64)
@@ -237,6 +240,9 @@ class BatchAligner:
         bw2 = 2 * aa.band_width
         n = len(problems)
         ql = max(p.qlen for p in problems)
+        if self.backend != "numpy":
+            # Bound device compile shapes: pow2 length buckets.
+            ql = max(64, 1 << (ql - 1).bit_length())
         rl = ql + 2 * bw2
         qa = np.zeros((n, ql), np.uint8)
         ra = np.full((n, rl), 255, np.uint8)
