@@ -151,7 +151,15 @@ def seed_hits(query_codes: np.ndarray, index, max_hits: int):
     for i in range(wl):
         h = (h << 2) | c[i:i + n]
     h = np.where(clean, h, 0)
-    so = index.starting_offs.astype(np.int64)
+    # Cache the int64 view of SO on the index (the uint32 file array would
+    # otherwise be re-converted for every read).
+    so = getattr(index, "_so64", None)
+    if so is None:
+        so = np.asarray(index.starting_offs, dtype=np.int64)
+        try:
+            index._so64 = so
+        except AttributeError:
+            pass
     counts = so[h + 1] - so[h]
     ok = clean & (counts > 0) & (counts <= max_hits)
     offsets = np.flatnonzero(ok).astype(np.int64)

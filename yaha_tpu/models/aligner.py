@@ -236,13 +236,19 @@ class BatchAligner:
     def _run_ext_problems(self, problems):
         if not problems:
             return
+        # Length-bucket: extensions range from a few bases to whole-read
+        # length; padding everything to the max wastes most of the batch.
+        buckets = {}
+        for p in problems:
+            b = max(32, 1 << (p.qlen - 1).bit_length())
+            buckets.setdefault(b, []).append(p)
+        for b in sorted(buckets):
+            self._run_ext_bucket(buckets[b], b)
+
+    def _run_ext_bucket(self, problems, ql):
         aa = self.aa
         bw2 = 2 * aa.band_width
         n = len(problems)
-        ql = max(p.qlen for p in problems)
-        if self.backend != "numpy":
-            # Bound device compile shapes: pow2 length buckets.
-            ql = max(64, 1 << (ql - 1).bit_length())
         rl = ql + 2 * bw2
         qa = np.zeros((n, ql), np.uint8)
         ra = np.full((n, rl), 255, np.uint8)
