@@ -1,0 +1,92 @@
+"""Batch-engine CLI: parity, checkpoint cursor, and resume."""
+import gzip
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from conftest import DATA, GOLD
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def scratch(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clibatch")
+    shutil.copy(os.path.join(DATA, "readsA_100bp.fasta"), d)
+    shutil.copy(os.path.join(GOLD, "testgen.nib2"), d)
+    with gzip.open(os.path.join(GOLD, "testgen.X11_01_65525S.gz")) as f:
+        with open(os.path.join(d, "testgen.X11_01_65525S"), "wb") as out:
+            out.write(f.read())
+    return d
+
+
+def _run(scratch, *args):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    return subprocess.run(
+        [sys.executable, "-m", "yaha_tpu.cli", *args],
+        cwd=scratch, env=env, capture_output=True, timeout=1200)
+
+
+def test_batch_engine_parity(scratch):
+    r = _run(scratch, "-x", "testgen.X11_01_65525S", "-q",
+             "readsA_100bp.fasta", "--engine", "batch", "-osh",
+             "A_default.sam")
+    assert r.returncode == 0, r.stderr.decode()[-1500:]
+    with open(os.path.join(scratch, "A_default.sam"), "rb") as f:
+        mine = f.read()
+    with open(os.path.join(GOLD, "A_default.sam"), "rb") as f:
+        assert mine == f.read()
+    assert not os.path.exists(os.path.join(scratch,
+                                           "A_default.sam.cursor"))
+
+
+def test_batch_engine_resume(scratch):
+    # Full reference output first.
+    r = _run(scratch, "-x", "testgen.X11_01_65525S", "-q",
+             "readsA_100bp.fasta", "--engine", "batch", "-osh", "full.sam")
+    assert r.returncode == 0
+
+    # Simulate preemption: emit only the first 120 reads (3 batches of 40)
+    # by driving the engine in-process, then resume via the CLI.
+    import gzip as _gzip
+    sys.path.insert(0, REPO)
+    from yaha_tpu.config import AlignmentArgs
+    from yaha_tpu.io import nib2, index_io, fasta, sam
+    from yaha_tpu.models.aligner import BatchAligner
+    with open(os.path.join(scratch, "testgen.nib2"), "rb") as f:
+        genome = nib2.load(f.read())
+    index = index_io.load_index(
+        os.path.join(scratch, "testgen.X11_01_65525S"))
+    aa = AlignmentArgs()
+    aa.qfile_name = "readsA_100bp.fasta"
+    aa.xfile_name = "testgen.X11_01_65525S"
+    aa.ofile_name = "part.sam"
+    aa.post_process(True)
+    aa.word_len = index.word_len
+    with open(os.path.join(scratch, "readsA_100bp.fasta"), "rb") as f:
+        qdata = f.read()
+    aa.fastq = False
+    recs = list(fasta.read_queries(qdata, aa))
+    aligner = BatchAligner(aa, genome, index, backend="numpy")
+    with open(os.path.join(scratch, "part.sam"), "w") as out:
+        out.write(sam.file_header(aa, genome))
+        out.write("".join(aligner.align_batch(recs[:120])))
+    with open(os.path.join(scratch, "part.sam.cursor"), "w") as f:
+        f.write("120")
+
+    r = _run(scratch, "-x", "testgen.X11_01_65525S", "-q",
+             "readsA_100bp.fasta", "--engine", "batch", "--batch-size",
+             "40", "--resume", "-osh", "part.sam")
+    assert r.returncode == 0, r.stderr.decode()[-1500:]
+    assert b"Resuming at read 120" in r.stderr
+    with open(os.path.join(scratch, "part.sam")) as f:
+        resumed = f.read()
+    with open(os.path.join(scratch, "full.sam")) as f:
+        full = f.read()
+    # Identical apart from the @PG output-file token.
+    assert (resumed.replace("part.sam", "full.sam") == full)
+    assert not os.path.exists(os.path.join(scratch, "part.sam.cursor"))

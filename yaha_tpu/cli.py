@@ -165,6 +165,18 @@ def main(argv=None):
         elif a == "-R":
             i += 1
             aa.min_raw_score = _parse_int(argv[i], "-R")
+        # yaha_tpu extensions (not in the reference CLI).
+        elif a == "--engine":
+            # oracle: per-read reference-exact path (default).
+            # batch:  phased batched-DP pipeline (numpy backend).
+            # batch-xla / batch-pallas: device backends.
+            i += 1
+            aa.engine = argv[i]
+        elif a == "--batch-size":
+            i += 1
+            aa.batch_size = _parse_int(argv[i], "--batch-size")
+        elif a == "--resume":
+            aa.resume = True
         else:
             print("%s is not a valid option.\n" % a, file=sys.stderr)
             sys.exit(1)
@@ -274,11 +286,68 @@ def _do_query(aa):
         aa.max_hits = index.max_hits
     with open(aa.qfile_name, "rb") as f:
         qdata = f.read()
-    if aa.ofile_name in ("stdout", "-"):
+    engine = getattr(aa, "engine", "oracle")
+    if engine != "oracle":
+        _run_batch_engine(aa, genome, index, qdata, engine)
+    elif aa.ofile_name in ("stdout", "-"):
         pipeline.run_query_file(aa, genome, index, qdata, sys.stdout)
     else:
         with open(aa.ofile_name, "w") as out:
             pipeline.run_query_file(aa, genome, index, qdata, out)
+
+
+def _run_batch_engine(aa, genome, index, qdata, engine):
+    """Batched pipeline with per-batch checkpointed output.
+
+    Failure-recovery analog (SURVEY.md section 5): output is flushed per
+    batch and a sidecar cursor records the number of fully-emitted reads;
+    --resume seeks past completed batches so a preempted run continues at
+    the last flushed batch.
+    """
+    import os
+    from .io import fasta, sam
+    from .models.aligner import BatchAligner
+    from .utils.timing import StageTimers
+
+    backend = {"batch": "numpy", "batch-xla": "xla",
+               "batch-pallas": "pallas"}[engine]
+    batch_size = getattr(aa, "batch_size", 256)
+    aa.fastq = qdata[:1] == b"@"
+    records = list(fasta.read_queries(qdata, aa))
+    cursor_path = aa.ofile_name + ".cursor"
+    start_read = 0
+    mode = "w"
+    if getattr(aa, "resume", False) and os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            start_read = int(f.read().strip() or 0)
+        mode = "a"
+        print("Resuming at read %d." % start_read, file=sys.stderr)
+    timers = StageTimers()
+    aligner = BatchAligner(aa, genome, index, backend=backend)
+    out = (sys.stdout if aa.ofile_name in ("stdout", "-")
+           else open(aa.ofile_name, mode))
+    try:
+        if start_read == 0:
+            out.write(sam.file_header(aa, genome))
+        n = start_read
+        for lo in range(start_read, len(records), batch_size):
+            batch = records[lo:lo + batch_size]
+            with timers.stage("align batch"):
+                outs = aligner.align_batch(batch)
+            with timers.stage("emit"):
+                out.write("".join(outs))
+                out.flush()
+            n = lo + len(batch)
+            if out is not sys.stdout:
+                with open(cursor_path, "w") as f:
+                    f.write(str(n))
+        if aa.verbose:
+            timers.print_report()
+    finally:
+        if out is not sys.stdout:
+            out.close()
+            if os.path.exists(cursor_path) and n >= len(records):
+                os.unlink(cursor_path)
 
 
 if __name__ == "__main__":
