@@ -41,6 +41,15 @@ CASES = [
      ["-OQC", "N", "-osh"]),
     ("E_fastq.sam", "readsE_150bp.fastq", "testgen.X11_01_65525S", ["-osh"]),
     ("F_edge.sam", "readsF_edge.fasta", "testgen.X11_01_65525S", ["-osh"]),
+    ("B_scoring.sam", "readsB_500bp.fasta", "testgen.X11_01_65525S",
+     ["-GOC", "6", "-GEC", "1", "-RC", "4", "-MS", "2", "-osh"]),
+    ("D_bp.sam", "readsD_sv.fasta", "testgen.X11_01_65525S",
+     ["-BP", "10", "-MGDP", "9", "-MNO", "10", "-osh"]),
+    ("D_strict.sam", "readsD_sv.fasta", "testgen.X11_01_65525S",
+     ["-P", "0.95", "-M", "40", "-osh"]),
+    ("C_blast8.out", "readsC_1kb.fasta", "testgen.X11_01_65525S", ["-o8"]),
+    ("D_fbs_loose.sam", "readsD_sv.fasta", "testgen.X11_01_65525S",
+     ["-FBS", "Y", "-PRL", "0.5", "-PSS", "0.5", "-osh"]),
 ]
 
 

@@ -267,6 +267,8 @@ def _do_index(aa):
         genome = nib2.load(f.read())
     so, roa, tm = build.build_index(genome, aa.word_len, aa.skip_dist,
                                     aa.max_hits)
+    if aa.verbose:
+        build.print_count_statistics(so, aa.word_len, file=sys.stderr)
     index_io.write_index(aa.xfile_name, aa.word_len, aa.max_hits, so, roa, tm)
     print("Index %s created." % aa.xfile_name, file=sys.stderr)
 

@@ -119,3 +119,29 @@ def build_index(genome: Genome, word_len: int, skip_dist: int,
     starting_offs = so64.astype(np.uint32)
     total_matches = int(so64[-1])
     return starting_offs, roa, total_matches
+
+
+def print_count_statistics(starting_offs, word_len, file=None):
+    """Index statistics (outputCountStatistics analog, Index.c:337-407):
+    total hits, zero-hit k-mers, and count percentiles over k-mers and
+    hits."""
+    import sys
+    file = file or sys.stderr
+    so = np.asarray(starting_offs, dtype=np.int64)
+    counts = np.diff(so)
+    total = int(counts.sum())
+    ht_size = len(counts)
+    print("Found %d total hits across %d %d-mers." % (total, ht_size,
+                                                      word_len), file=file)
+    print("Found %d %d-mers with zero hits." %
+          (int((counts == 0).sum()), word_len), file=file)
+    percs = [0.25, 0.50, 0.75, 0.90, 0.95, 0.99, 0.999, 0.9999]
+    nz = np.sort(counts)
+    hit_cum = np.cumsum(nz)
+    for p in percs:
+        kmer_thresh = nz[min(int(ht_size * p + 0.5), ht_size - 1)]
+        hit_idx = int(np.searchsorted(hit_cum, total * p + 0.5))
+        hit_thresh = nz[min(hit_idx, ht_size - 1)]
+        print("The %g percentile of %d-mers is %d, and of total matches "
+              "is %d." % (p, word_len, int(kmer_thresh), int(hit_thresh)),
+              file=file)
