@@ -328,6 +328,18 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
     aligner = BatchAligner(aa, genome, index, backend=backend)
     out = (sys.stdout if aa.ofile_name in ("stdout", "-")
            else open(aa.ofile_name, mode))
+    pool = None
+    if aa.num_threads > 1 and backend == "numpy":
+        # Host data parallelism (the reference's pthread analog,
+        # Query.c:642-691): reads shard across worker processes; outputs
+        # are concatenated in read order, and per-read RNG streams are
+        # content-derived (QueryState.c:171-187), so the result is
+        # byte-identical to a single-worker run.
+        import concurrent.futures as cf
+        pool = cf.ProcessPoolExecutor(
+            max_workers=aa.num_threads,
+            initializer=_worker_init,
+            initargs=(aa, aa.gfile_name, aa.xfile_name, backend))
     try:
         if start_read == 0:
             out.write(sam.file_header(aa, genome))
@@ -335,7 +347,16 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
         for lo in range(start_read, len(records), batch_size):
             batch = records[lo:lo + batch_size]
             with timers.stage("align batch"):
-                outs = aligner.align_batch(batch)
+                if pool is not None:
+                    per = max(1, (len(batch) + aa.num_threads - 1)
+                              // aa.num_threads)
+                    chunks = [batch[k:k + per]
+                              for k in range(0, len(batch), per)]
+                    outs = []
+                    for chunk_out in pool.map(_worker_align, chunks):
+                        outs.extend(chunk_out)
+                else:
+                    outs = aligner.align_batch(batch)
             with timers.stage("emit"):
                 out.write("".join(outs))
                 out.flush()
@@ -346,10 +367,29 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
         if aa.verbose:
             timers.print_report()
     finally:
+        if pool is not None:
+            pool.shutdown()
         if out is not sys.stdout:
             out.close()
             if os.path.exists(cursor_path) and n >= len(records):
                 os.unlink(cursor_path)
+
+
+_WORKER_ALIGNER = None
+
+
+def _worker_init(aa, gfile, xfile, backend):
+    global _WORKER_ALIGNER
+    from .io import nib2, index_io
+    from .models.aligner import BatchAligner
+    with open(gfile, "rb") as f:
+        genome = nib2.load(f.read())
+    index = index_io.load_index(xfile)
+    _WORKER_ALIGNER = BatchAligner(aa, genome, index, backend=backend)
+
+
+def _worker_align(chunk):
+    return _WORKER_ALIGNER.align_batch(chunk)
 
 
 if __name__ == "__main__":
