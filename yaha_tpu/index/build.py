@@ -84,16 +84,46 @@ def hash_windows(codes: np.ndarray, positions: np.ndarray,
 
 
 def build_index(genome: Genome, word_len: int, skip_dist: int,
-                max_hits: int):
-    """Returns (starting_offs[HTsize+1] uint32, roa uint32, total_matches)."""
+                max_hits: int, chunk: int = 64 << 20):
+    """Returns (starting_offs[HTsize+1] uint32, roa uint32, total_matches).
+
+    Memory-bounded two-pass construction (the reference's structure,
+    Index.c:96-242, vectorized): pass 1 accumulates per-k-mer counts with
+    chunked bincounts; pass 2 scatters positions into the ROA at
+    SO[h] + seen-so-far[h], processing `chunk` windows at a time so peak
+    memory is SO + ROA + one chunk regardless of genome size (hg18-scale
+    at wordLen 15 stays ~2.5x the output size instead of ~6x).
+    """
     ht_size = 1 << (2 * word_len)
     positions = genome_scan_positions(genome, word_len, skip_dist)
-    hashes = hash_windows(genome.codes, positions, word_len)
-    counts = np.bincount(hashes, minlength=ht_size)
-    # Stable sort by hash preserves ascending position order per k-mer,
-    # matching the reference's in-scan-order ROA fill (Index.c:222-229).
-    order = np.argsort(hashes, kind="stable")
-    roa = positions[order].astype(np.uint32)
+    n = len(positions)
+
+    counts = np.zeros(ht_size, dtype=np.int64)
+    for lo in range(0, n, chunk):
+        h = hash_windows(genome.codes, positions[lo:lo + chunk], word_len)
+        counts += np.bincount(h, minlength=ht_size)
+
+    so = np.zeros(ht_size + 1, dtype=np.int64)
+    np.cumsum(counts, out=so[1:])
+    roa = np.empty(int(so[-1]), dtype=np.uint32)
+    seen = np.zeros(ht_size, dtype=np.int64)
+    for lo in range(0, n, chunk):
+        pos_c = positions[lo:lo + chunk]
+        h = hash_windows(genome.codes, pos_c, word_len)
+        # Stable sort within the chunk preserves ascending position order
+        # per k-mer; combined with the running `seen` offsets this equals
+        # the reference's in-scan-order ROA fill (Index.c:222-229).
+        order = np.argsort(h, kind="stable")
+        h_sorted = h[order]
+        # Rank of each element within its k-mer run.
+        run_starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(h_sorted)) + 1])
+        rank = np.arange(len(h_sorted)) - np.repeat(
+            run_starts, np.diff(np.concatenate([run_starts,
+                                                [len(h_sorted)]])))
+        roa[so[h_sorted] + seen[h_sorted] + rank] = pos_c[order]
+        seen += np.bincount(h_sorted, minlength=ht_size)
+    counts = np.diff(so)
 
     # Third pass: random down-sampling of k-mers over maxHits
     # (Index.c:271-315).  RNG state flows across k-mers in ascending hash
