@@ -175,28 +175,30 @@ def find_fragments(offsets, so_offsets, counts, roa, word_len):
     if len(offsets) == 0:
         return []
     qo = np.repeat(offsets, counts)
-    # Gather ROA runs.
-    idx = np.concatenate([np.arange(s, s + c)
-                          for s, c in zip(so_offsets, counts)])
-    ro = roa[idx].astype(np.int64)
+    # Gather ROA runs: idx[t] = so_offsets[run(t)] + rank-within-run(t).
+    run_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    total0 = int(counts.sum())
+    rank = np.arange(total0) - np.repeat(run_starts, counts)
+    idx = np.repeat(so_offsets, counts) + rank
+    ro = np.asarray(roa[idx], dtype=np.int64)
 
     # Reference quirk (QueryMatch.c:57-69): the heap pre-seeding loop pushes
     # ROA entries while roff < queryOffset, then one more.  When EVERY entry
     # of an offset's run wraps (ro < qo), it reads past the run into the
     # next k-mer's ROA entries, injecting phantom hits until one with
     # ro >= qo.  SAM parity requires reproducing those phantoms.
-    run_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    roa_len = len(roa)
+    run_any_ok = np.maximum.reduceat(
+        (ro >= qo).astype(np.int8), run_starts) if total0 else None
+    all_wrapped = np.flatnonzero(run_any_ok == 0) if total0 else []
     extra_qo = []
     extra_ro = []
-    roa_len = len(roa)
-    for k, (off, s, c) in enumerate(zip(offsets, so_offsets, counts)):
-        lo = run_starts[k]
-        if not (ro[lo:lo + c] < off).all():
-            continue
-        j = s + c
+    for k in all_wrapped:
+        off = int(offsets[k])
+        j = int(so_offsets[k] + counts[k])
         while j < roa_len:
             v = int(roa[j])
-            extra_qo.append(int(off))
+            extra_qo.append(off)
             extra_ro.append(v)
             if v >= off:
                 break
