@@ -150,6 +150,10 @@ def build_best_clump(aa, qs, frags, used, start, end, clump: Clump) -> None:
     # Sort ascending (SQO, diag) — compareFragsByQueryOffsets
     # (GraphPath.cpp:148-159).
     nodes.sort(key=lambda n: (n.sqo, n.diag))
+    if len(nodes) >= 24:
+        best_node = _chain_dp_vectorized(aa, nodes)
+        _emit_best_path(aa, qs, best_node, clump)
+        return
 
     best_score = -0x7FFFFF00
     best_node = None
@@ -211,7 +215,11 @@ def build_best_clump(aa, qs, frags, used, start, end, clump: Clump) -> None:
             best_node = left
             best_score = left.best_score
 
-    # processBestFragmentPath (GraphPath.cpp:134-146).
+    _emit_best_path(aa, qs, best_node, clump)
+
+
+def _emit_best_path(aa, qs, best_node, clump: Clump) -> None:
+    """processBestFragmentPath (GraphPath.cpp:134-146)."""
     node = best_node
     while node is not None:
         insert_fragment(clump, node.frag)
@@ -220,6 +228,87 @@ def build_best_clump(aa, qs, frags, used, start, end, clump: Clump) -> None:
         clump.reset()
     else:
         clean_up_clump(clump, aa)
+
+
+def _chain_dp_vectorized(aa, nodes):
+    """SoA inner-loop vectorization of the chain DP.
+
+    The reference relaxes all right nodes j for each left node i in
+    ascending-i order; for a fixed i the per-j updates are independent, so
+    the inner loop becomes numpy vector ops while the outer loop and every
+    tie-break stay identical (GraphPath.cpp:194-266).
+    """
+    import numpy as np
+    n = len(nodes)
+    sqo = np.array([nd.sqo for nd in nodes], np.int64)
+    eqo = np.array([nd.eqo for nd in nodes], np.int64)
+    diag = np.array([nd.diag for nd in nodes], np.int64)  # uint32 values
+    length = np.array([nd.node_length for nd in nodes], np.int64)
+    sro = (diag + sqo) & 0xFFFFFFFF
+    ero = (diag + eqo) & 0xFFFFFFFF
+    best_score = length * aa.m_score
+    prev_idx = np.full(n, -1, np.int64)
+    path_length = np.ones(n, np.int64)
+    path_sqo = sqo.copy()
+
+    max_gap = aa.max_gap
+    max_desert = aa.max_desert
+    for i in range(n - 1):
+        cand = sqo > sqo[i]
+        cand[:i + 1] = False
+        if not cand.any():
+            continue
+        diag_gap = np.abs(diag - diag[i])
+        cand &= diag_gap <= max_gap
+        cand &= sro > sro[i]
+        q_gap = np.where(sqo > eqo[i], sqo - eqo[i] - 1, 0)
+        r_gap = np.where(sro > ero[i], sro - ero[i] - 1, 0)
+        cand &= np.minimum(q_gap, r_gap) <= max_desert
+        q_ov = np.where(eqo[i] >= sqo, eqo[i] - sqo + 1, 0)
+        r_ov = np.where(ero[i] >= sro, ero[i] - sro + 1, 0)
+        newbases = length - np.maximum(q_ov, r_ov)
+        cand &= newbases >= 1
+        if not cand.any():
+            continue
+        gap_cost = np.where(diag_gap > 0,
+                            -(aa.go_cost + diag_gap * aa.ge_cost), 0)
+        new_score = best_score[i] + newbases * aa.m_score + gap_cost
+        better = new_score > best_score
+        equal = new_score == best_score
+        # Tie cascade vs the stored best_prev (GraphPath.cpp:239-251).
+        has_prev = prev_idx >= 0
+        pidx = np.where(has_prev, prev_idx, 0)
+        prev_diag_diff = np.abs(diag[pidx] - diag)
+        diag_cmp = diag_gap - prev_diag_diff
+        prev_gap = np.where(sqo > eqo[pidx], sqo - eqo[pidx] - 1, 0)
+        gap_cmp = q_gap - prev_gap
+        tie_win = has_prev & (
+            (diag_cmp < 0) |
+            ((diag_cmp == 0) & ((gap_cmp < 0) |
+                                ((gap_cmp == 0) &
+                                 (path_sqo[i] > path_sqo[pidx])))))
+        accept = cand & (better | (equal & tie_win))
+        if accept.any():
+            best_score = np.where(accept, new_score, best_score)
+            prev_idx = np.where(accept, i, prev_idx)
+            path_length = np.where(accept, path_length[i] + 1, path_length)
+            path_sqo = np.where(accept, path_sqo[i], path_sqo)
+
+    # Best-node fold in ascending order (GraphPath.cpp:259-266).
+    best = None
+    best_sc = -0x7FFFFF00
+    for i in range(n):
+        if best_score[i] < best_sc:
+            continue
+        if best_score[i] > best_sc or (
+                (eqo[i] < eqo[best]) if eqo[i] != eqo[best]
+                else (path_sqo[i] > path_sqo[best])):
+            best = i
+            best_sc = int(best_score[i])
+    # Materialize the linked best path back onto the node objects.
+    for k, nd in enumerate(nodes):
+        nd.best_prev = nodes[prev_idx[k]] if prev_idx[k] >= 0 else None
+    return nodes[best]
 
 
 def check_start_end_coverage(coverage, frag: Fragment, min_left: int) -> bool:
