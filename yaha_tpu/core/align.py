@@ -6,6 +6,7 @@ cascade (AlignExtFrag.cpp:30-234), and the clump DP extensions.
 """
 from __future__ import annotations
 
+from .cints import wrap_u16
 from .clumps import Clump, SFragment
 from .editops import EditOpList, MATCH, REPLACE, INSERT, DELETE
 from .frags import calc_gap_cost, calc_query_gap, calc_ref_gap
@@ -215,11 +216,14 @@ def score_clump(clump: Clump, aa, qs) -> int:
     if matches < aa.min_raw_score:
         return 0
 
-    clump.matched_bases = matches
-    clump.mismatched_bases = mismatches
-    clump.gap_bases = inserts + deletes
-    clump.tot_length = matches + mismatches + inserts + deletes
-    clump.tot_score = ags
+    # Clump counters are QOFF = uint16 in the reference (Math.h:517-521);
+    # large values wrap and the wrapped values flow into identity
+    # filtering, OQC, and output (see core/cints.py).
+    clump.matched_bases = wrap_u16(matches)
+    clump.mismatched_bases = wrap_u16(mismatches)
+    clump.gap_bases = wrap_u16(inserts + deletes)
+    clump.tot_length = wrap_u16(matches + mismatches + inserts + deletes)
+    clump.tot_score = wrap_u16(ags)
 
     percent = clump.matched_bases / clump.tot_length
     if percent < aa.min_identity:

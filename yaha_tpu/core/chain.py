@@ -12,6 +12,7 @@ The deterministic tie-break cascade (GraphPath.cpp:239-251 relaxation,
 """
 from __future__ import annotations
 
+from .cints import wrap_i16
 from .clumps import Clump, SFragment
 from .frags import (Fragment, abs_diag_diff, calc_gap, calc_gap_cost,
                     calc_max_overlap, calc_overlap)
@@ -28,8 +29,10 @@ class _Node:
         self.path_length = 1
         self.frag = frag
         self.diag = frag.diag
-        self.node_length = frag.match_count
-        self.best_score = self.node_length * aa.m_score
+        # nodeLength/bestScore are SINT = int16 (GraphPath.cpp:71-76);
+        # long-fragment scores wrap, changing path choices.
+        self.node_length = wrap_i16(frag.match_count)
+        self.best_score = wrap_i16(self.node_length * aa.m_score)
         self.sqo = frag.sqo
         self.eqo = frag.eqo
         self.path_sqo = self.sqo
@@ -185,6 +188,8 @@ def build_best_clump(aa, qs, frags, used, start, end, clump: Clump) -> None:
             newbases = right.node_length - max_overlap
             if newbases < 1:
                 continue
+            # `int newScore` (GraphPath.cpp:230): the candidate stays
+            # unwrapped for comparisons; only the store wraps.
             new_score = (left.best_score + newbases * aa.m_score +
                          calc_gap_cost(diag_gap, aa))
             if right.best_score > new_score:
@@ -204,7 +209,7 @@ def build_best_clump(aa, qs, frags, used, start, end, clump: Clump) -> None:
                         continue
                     elif gap_cmp == 0 and left.path_sqo <= prev_best.path_sqo:
                         continue
-            right.best_score = new_score
+            right.best_score = wrap_i16(new_score)
             right.best_prev = left
             right.path_length = left.path_length + 1
             right.path_sqo = left.path_sqo
@@ -246,7 +251,9 @@ def _chain_dp_vectorized(aa, nodes):
     length = np.array([nd.node_length for nd in nodes], np.int64)
     sro = (diag + sqo) & 0xFFFFFFFF
     ero = (diag + eqo) & 0xFFFFFFFF
-    best_score = length * aa.m_score
+    # SINT nodeLength/bestScore stores (int16 wrap), as in _Node.
+    length_w = ((length + 0x8000) & 0xFFFF) - 0x8000
+    best_score = ((length_w * aa.m_score + 0x8000) & 0xFFFF) - 0x8000
     prev_idx = np.full(n, -1, np.int64)
     path_length = np.ones(n, np.int64)
     path_sqo = sqo.copy()
@@ -266,7 +273,7 @@ def _chain_dp_vectorized(aa, nodes):
         cand &= np.minimum(q_gap, r_gap) <= max_desert
         q_ov = np.where(eqo[i] >= sqo, eqo[i] - sqo + 1, 0)
         r_ov = np.where(ero[i] >= sro, ero[i] - sro + 1, 0)
-        newbases = length - np.maximum(q_ov, r_ov)
+        newbases = length_w - np.maximum(q_ov, r_ov)
         cand &= newbases >= 1
         if not cand.any():
             continue
@@ -289,7 +296,8 @@ def _chain_dp_vectorized(aa, nodes):
                                  (path_sqo[i] > path_sqo[pidx])))))
         accept = cand & (better | (equal & tie_win))
         if accept.any():
-            best_score = np.where(accept, new_score, best_score)
+            wrapped = ((new_score + 0x8000) & 0xFFFF) - 0x8000
+            best_score = np.where(accept, wrapped, best_score)
             prev_idx = np.where(accept, i, prev_idx)
             path_length = np.where(accept, path_length[i] + 1, path_length)
             path_sqo = np.where(accept, path_sqo[i], path_sqo)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 
+from .cints import wrap_i16, c_div
 from .editops import MATCH, REPLACE, INSERT, DELETE
 
 WORST_SCORE = -0x7FFFFF00
@@ -26,8 +27,11 @@ class _CNode:
         self.best_prev = None
         self.path_length = 1
         self.clump = clump
-        self.best_score = self.node_score = clump.tot_score
-        self.node_length = clump.tot_length
+        # bestScore/nodeScore are SINT = int16 in the reference
+        # (GraphPath.cpp:305-307): clump scores above 32767 wrap negative,
+        # which changes which alignments win OQC.  Parity-critical.
+        self.best_score = self.node_score = wrap_i16(clump.tot_score)
+        self.node_length = wrap_i16(clump.tot_length)
         self.sqo = clump.plus_sqo(qs.query_len)
         self.eqo = clump.plus_eqo(qs.query_len)
         self.sro = clump.sro
@@ -86,8 +90,9 @@ def _delete_subsumed_dups(qs, nodes: list) -> list:
         if cur.dead:
             continue
         out.append(cur)
-        # C int division truncates toward zero; scores here are positive.
-        threshold = cur.node_score // 8
+        # C int division truncates toward zero; wrapped scores can be
+        # negative (GraphPath.cpp:501).
+        threshold = c_div(cur.node_score, 8)
         for j in range(i + 1, n):
             nxt = nodes[j]
             if nxt.dead:
@@ -323,7 +328,8 @@ def post_filter_by_similarity(aa, qs) -> None:
                     found_startj = True
                 right_eqo = right.eqo
                 if (right_eqo - left_eqo) >= min_non_overlap:
-                    new_score = left.best_score + right.node_score
+                    # SINT newScore (GraphPath.cpp:1004): int16 wrap.
+                    new_score = wrap_i16(left.best_score + right.node_score)
                     if right.best_score > new_score:
                         continue
                     # Breakpoint penalty (GraphPath.cpp:1006-1025).
@@ -343,7 +349,7 @@ def post_filter_by_similarity(aa, qs) -> None:
                             bpp = int(lg * bp_cost + 0.5)
                     else:
                         bpp = mbpl * bp_cost
-                    new_score -= bpp
+                    new_score = wrap_i16(new_score - bpp)
                     if right.best_score > new_score:
                         continue
                     overlap = (left_eqo - right_sqo + 1
@@ -352,7 +358,7 @@ def post_filter_by_similarity(aa, qs) -> None:
                     if overlap > 0:
                         ov_score, right_best = _calc_accurate_overlap_score(
                             left, right, overlap, aa)
-                        new_score -= ov_score
+                        new_score = wrap_i16(new_score - ov_score)
                         if right.best_score > new_score:
                             continue
                     if (right.best_score < new_score or
