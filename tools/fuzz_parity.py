@@ -165,7 +165,8 @@ def run_one(seed, keep=False):
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO
         my_cmd = [sys.executable, "-m", "yaha_tpu.cli", "-x", idx, "-q",
-                  "reads.fasta"] + cfg + [out_mode, "my.out"]
+                  "reads.fasta", "--engine", "batch"] + cfg + \
+            [out_mode, "my.out"]
         r2 = subprocess.run(my_cmd, cwd=d, env=env, capture_output=True,
                             timeout=1200)
         if r1.returncode != 0 or r2.returncode != 0:
