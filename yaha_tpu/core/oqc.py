@@ -260,7 +260,17 @@ def _filter_by_similarity(aa, qs, nodes, best_node: _CNode) -> None:
             elif cur.node_score > pas.third_score:
                 pas.third_score = cur.node_score
             p = primaries[max_index]
-            if cur.node_score / p.node_score >= aa.fbs_ps_score:
+            # C double division: inf/nan instead of raising when the
+            # (wrapped) primary score is zero.
+            if p.node_score != 0:
+                ratio = cur.node_score / p.node_score
+            elif cur.node_score > 0:
+                ratio = float("inf")
+            elif cur.node_score < 0:
+                ratio = float("-inf")
+            else:
+                ratio = float("nan")
+            if ratio >= aa.fbs_ps_score:
                 overlap = 1 + min(cur_eqo, p.eqo) - max(cur_sqo, p.sqo)
                 path_qlen = pas.aligned_query_length
                 if (overlap / cur_qlen >= target_overlap and
@@ -281,6 +291,9 @@ def _filter_by_similarity(aa, qs, nodes, best_node: _CNode) -> None:
         pas = pa_array[i]
         if pas.second_score == 0:
             clump.map_quality = 250
+        elif clump.tot_score == 0:
+            # C: 0/0 -> nan, (int)(nan*250+0.5) is UB; in practice 0.
+            clump.map_quality = 0
         else:
             ratio = max(float(clump.tot_score - pas.second_score), 0.0) / float(clump.tot_score)
             ratio = ratio * (1.0 + max(float(clump.tot_score - pas.third_score), 0.0) / clump.tot_score) / 2.0
