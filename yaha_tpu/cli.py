@@ -311,8 +311,8 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
     from .models.aligner import BatchAligner
     from .utils.timing import StageTimers
 
-    backend = {"batch": "numpy", "batch-xla": "xla",
-               "batch-pallas": "pallas"}[engine]
+    backend = {"batch": "auto", "batch-numpy": "numpy",
+               "batch-xla": "xla", "batch-pallas": "pallas"}[engine]
     batch_size = getattr(aa, "batch_size", 256)
     aa.fastq = qdata[:1] == b"@"
     records = list(fasta.read_queries(qdata, aa))

@@ -65,10 +65,13 @@ class _ExtProblem:
 class BatchAligner:
     """Aligns batches of reads; DP phases run through batched kernels."""
 
-    def __init__(self, aa, genome, index, backend="numpy"):
+    def __init__(self, aa, genome, index, backend="auto"):
         self.aa = aa
         self.genome = genome
         self.index = index
+        if backend == "auto":
+            from ..native import host
+            backend = "native" if host.available() else "numpy"
         self.backend = backend
 
     # ----- phase A: gap fill -----
@@ -141,7 +144,7 @@ class BatchAligner:
         n = len(problems)
         qg = max(p.qlen for p in problems)
         rg = max(p.rlen for p in problems)
-        if self.backend != "numpy":
+        if self.backend not in ("numpy", "native"):
             qg = max(32, 1 << (qg - 1).bit_length())
             rg = max(32, 1 << (rg - 1).bit_length())
         qa = np.zeros((n, qg), np.uint8)
@@ -158,7 +161,11 @@ class BatchAligner:
         kw = dict(go=self.aa.go_cost, ge=self.aa.ge_cost, rc=self.aa.r_cost,
                   ms=self.aa.m_score, max_gap=self.aa.max_gap,
                   max_intron=self.aa.max_intron)
-        if self.backend == "numpy":
+        if self.backend == "native":
+            from ..native import host
+            out = host.anchored_forward(qa, qlens, ra, rlens, lbws, rbws,
+                                        **kw)
+        elif self.backend == "numpy":
             out = sw_numpy.batched_anchored_forward_np(
                 qa, qlens, ra, rlens, lbws, rbws, **kw)
         else:
@@ -261,7 +268,10 @@ class BatchAligner:
         kw = dict(band_width=aa.band_width, go=aa.go_cost, ge=aa.ge_cost,
                   rc=aa.r_cost, ms=aa.m_score, max_gap=aa.max_gap,
                   max_intron=aa.max_intron, x_cutoff=aa.x_cutoff)
-        if self.backend == "numpy":
+        if self.backend == "native":
+            from ..native import host
+            out = host.extension_forward(qa, qlens, ra, rlens, **kw)
+        elif self.backend == "numpy":
             out = sw_numpy.batched_extension_forward_np(
                 qa, qlens, ra, rlens, **kw)
         elif self.backend == "pallas":

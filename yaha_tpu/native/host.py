@@ -126,3 +126,89 @@ def format_cigar_md(ops, lens, genome_codes: np.ndarray,
         ctypes.byref(cigar), ctypes.byref(md))
     assert rc == 0
     return cigar.value.decode(), md.value.decode()
+
+
+def extension_forward(q, qlens, r, rlens, *, band_width, go, ge, rc, ms,
+                      max_gap, max_intron, x_cutoff):
+    """C-speed batched extension forward; same contract as
+    ops.sw_batch.batched_extension_forward."""
+    lib = _load()
+    import ctypes as ct
+    n, qlmax = q.shape
+    rlmax = r.shape[1]
+    bw2 = 2 * band_width
+    w = 2 * bw2 + 1
+    q = np.ascontiguousarray(q, np.uint8)
+    r = np.ascontiguousarray(r, np.uint8)
+    qlens32 = np.ascontiguousarray(qlens, np.int32)
+    rlens32 = np.ascontiguousarray(rlens, np.int32)
+    eo = np.zeros((n, qlmax + 1, w), np.int8)
+    idc = np.zeros((n, qlmax + 1, w), np.int32)
+    score = np.zeros(n, np.int32)
+    maxi = np.zeros(n, np.int32)
+    maxj = np.zeros(n, np.int32)
+    if not hasattr(lib, "_ext_sig"):
+        lib.yt_extension_forward.argtypes = [
+            ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int32),
+            ct.c_int64, ct.c_int64, ct.c_int64,
+            ct.c_int, ct.c_int, ct.c_int, ct.c_int, ct.c_int,
+            ct.c_int, ct.c_int, ct.c_int,
+            ct.POINTER(ct.c_int8), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32)]
+        lib._ext_sig = True
+
+    def p(a, t):
+        return a.ctypes.data_as(ct.POINTER(t))
+
+    rcode = lib.yt_extension_forward(
+        p(q, ct.c_uint8), p(qlens32, ct.c_int32), p(r, ct.c_uint8),
+        p(rlens32, ct.c_int32), n, qlmax, rlmax, band_width, go, ge, rc,
+        ms, max_gap, max_intron, x_cutoff,
+        p(eo, ct.c_int8), p(idc, ct.c_int32), p(score, ct.c_int32),
+        p(maxi, ct.c_int32), p(maxj, ct.c_int32))
+    assert rcode == 0
+    return {"score": score, "maxi": maxi, "maxj": maxj, "eo": eo,
+            "idc": idc}
+
+
+def anchored_forward(q, qlens, r, rlens, left_bw, right_bw, *, go, ge, rc,
+                     ms, max_gap, max_intron):
+    """C-speed batched anchored (gap-fill) forward; same contract as
+    ops.sw_batch.batched_anchored_forward."""
+    lib = _load()
+    import ctypes as ct
+    n, qlmax = q.shape
+    rlmax = r.shape[1]
+    wid = rlmax + 1
+    q = np.ascontiguousarray(q, np.uint8)
+    r = np.ascontiguousarray(r, np.uint8)
+    qlens32 = np.ascontiguousarray(qlens, np.int32)
+    rlens32 = np.ascontiguousarray(rlens, np.int32)
+    lbw32 = np.ascontiguousarray(left_bw, np.int32)
+    rbw32 = np.ascontiguousarray(right_bw, np.int32)
+    eo = np.zeros((n, qlmax + 1, wid), np.int8)
+    idc = np.zeros((n, qlmax + 1, wid), np.int32)
+    score = np.full(n, -(0x7FFFFF00), np.int32)
+    if not hasattr(lib, "_anc_sig"):
+        lib.yt_anchored_forward.argtypes = [
+            ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+            ct.c_int64, ct.c_int64, ct.c_int64,
+            ct.c_int, ct.c_int, ct.c_int, ct.c_int, ct.c_int, ct.c_int,
+            ct.POINTER(ct.c_int8), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32)]
+        lib._anc_sig = True
+
+    def p(a, t):
+        return a.ctypes.data_as(ct.POINTER(t))
+
+    rcode = lib.yt_anchored_forward(
+        p(q, ct.c_uint8), p(qlens32, ct.c_int32), p(r, ct.c_uint8),
+        p(rlens32, ct.c_int32), p(lbw32, ct.c_int32), p(rbw32, ct.c_int32),
+        n, qlmax, rlmax, go, ge, rc, ms, max_gap, max_intron,
+        p(eo, ct.c_int8), p(idc, ct.c_int32), p(score, ct.c_int32))
+    assert rcode == 0
+    return {"score": score, "eo": eo, "idc": idc}

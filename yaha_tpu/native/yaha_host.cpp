@@ -345,3 +345,202 @@ int yt_map_codes(const uint8_t* chars, int64_t n, uint8_t* codes) {
 }
 
 }  // extern "C"
+
+// ---------- host DP fallbacks ----------
+//
+// C-speed batched forwards mirroring ops/sw_batch.py semantics (which are
+// the reference SW.cpp semantics).  Used by the batch aligner when no TPU
+// is attached; the Pallas kernel is the production path.
+
+extern "C" {
+
+static const int32_t DP_WORST = -(0x7FFFFF00);
+enum { OP_U = 0, OP_M = 1, OP_R = 2, OP_I = 3, OP_D = 4 };
+
+// Banded X-dropoff extension forward for n problems.
+//   q[n*qlmax], r[n*rlmax] (rlmax >= qlmax + 2*bw2), row-major uint8.
+//   eo [n*(qlmax+1)*w] int8, idc [...] int32, score/maxi/maxj [n] int32.
+int yt_extension_forward(const uint8_t* q, const int32_t* qlens,
+                         const uint8_t* r, const int32_t* rlens,
+                         int64_t n, int64_t qlmax, int64_t rlmax,
+                         int band_width, int go, int ge, int rc, int ms,
+                         int max_gap, int max_intron, int x_cutoff,
+                         int8_t* eo, int32_t* idc, int32_t* score,
+                         int32_t* maxi_out, int32_t* maxj_out) {
+    const int bw2 = 2 * band_width;
+    const int w = 2 * bw2 + 1;
+    std::vector<int32_t> pv(w + 2), pf(w + 2), pi(w + 2);
+    for (int64_t kk = 0; kk < n; kk++) {
+        const uint8_t* qp = q + kk * qlmax;
+        const uint8_t* rp = r + kk * rlmax;
+        int32_t qlen = qlens[kk];
+        int32_t rlen = rlens[kk];
+        int8_t* eop = eo + kk * (qlmax + 1) * w;
+        int32_t* idp = idc + kk * (qlmax + 1) * w;
+        // Row 0 init.
+        for (int j = 0; j < w; j++) {
+            if (j > bw2) {
+                pv[j] = -(go + (j - bw2) * ge);
+                eop[j] = OP_D;
+                idp[j] = j - bw2;
+            } else {
+                pv[j] = (j == bw2) ? 0 : DP_WORST;
+                eop[j] = OP_U;
+                idp[j] = 0;
+            }
+            pf[j] = (j == bw2) ? 0 : DP_WORST;
+            pi[j] = 0;
+        }
+        pv[w] = DP_WORST; pf[w] = DP_WORST; pi[w] = 0;
+        for (int i = 1; i <= bw2 && i <= (int)qlmax; i++) {
+            eop[(int64_t)i * w + (bw2 - i)] = OP_I;
+            idp[(int64_t)i * w + (bw2 - i)] = i;
+        }
+        int32_t max_score = DP_WORST, maxi = 0, maxj = 0;
+        for (int i = 1; i <= qlen; i++) {
+            int start_col = bw2 + 1 - i;
+            int32_t pv_col;
+            if (start_col <= 0) { start_col = 0; pv_col = DP_WORST; }
+            else { pv_col = -(go + i * ge); pv[start_col - 1] = pv_col; }
+            int end_col = bw2 + rlen - i;
+            if (end_col > w - 1) end_col = w - 1;
+            int32_t pe_col = DP_WORST, pd_col = 0;
+            int32_t row_max = DP_WORST;
+            int q_char = qp[i - 1];
+            int8_t* eor = eop + (int64_t)i * w;
+            int32_t* idr = idp + (int64_t)i * w;
+            for (int j = start_col; j <= end_col; j++) {
+                int32_t v = pv[j];
+                // ref index = i - bw2 - 1 + j; in range when
+                // j >= start_col.
+                int r_char = rp[i - bw2 - 1 + j];
+                int8_t opcode;
+                int32_t cell_idc = 0;
+                int32_t g = (q_char == r_char) ? v + ms : v - rc;
+                opcode = (q_char == r_char) ? OP_M : OP_R;
+                int32_t ce = pe_col - ge;
+                int32_t ne = pv_col - (go + ge);
+                if (ce >= ne && pd_col + 1 <= max_intron) {
+                    pe_col = ce; pd_col += 1;
+                } else { pe_col = ne; pd_col = 1; }
+                int32_t v1;
+                if (pe_col >= g) { v1 = pe_col; opcode = OP_D;
+                                   cell_idc = pd_col; }
+                else v1 = g;
+                int32_t cf = pf[j + 1] - ge;
+                int32_t nf = pv[j + 1] - (go + ge);
+                int32_t f, ii;
+                if (cf >= nf && pi[j + 1] + 1 <= max_gap) {
+                    f = cf; ii = pi[j + 1] + 1;
+                } else { f = nf; ii = 1; }
+                int32_t v2;
+                if (f >= v1) { v2 = f; opcode = OP_I; cell_idc = ii; }
+                else v2 = v1;
+                pf[j] = f;
+                pi[j] = ii;
+                eor[j] = opcode;
+                idr[j] = cell_idc;
+                if (v2 > row_max) row_max = v2;
+                if (v2 > max_score) { max_score = v2; maxi = i; maxj = j; }
+                pv[j] = v2;
+                pv_col = v2;
+            }
+            if (row_max < max_score - x_cutoff) break;
+        }
+        score[kk] = max_score;
+        maxi_out[kk] = maxi;
+        maxj_out[kk] = maxj;
+    }
+    return 0;
+}
+
+// Anchored (gap-fill) masked full-matrix forward for n problems; per
+// problem left/right bandwidths (see batched_anchored_forward).
+//   eo/idc are [n*(qlmax+1)*(rlmax+1)].
+int yt_anchored_forward(const uint8_t* q, const int32_t* qlens,
+                        const uint8_t* r, const int32_t* rlens,
+                        const int32_t* lbws, const int32_t* rbws,
+                        int64_t n, int64_t qlmax, int64_t rlmax,
+                        int go, int ge, int rc, int ms,
+                        int max_gap, int max_intron,
+                        int8_t* eo, int32_t* idc, int32_t* score) {
+    int64_t wid = rlmax + 1;
+    std::vector<int32_t> pv(wid + 1), pf(wid + 1), pi(wid + 1),
+        v_new(wid + 1);
+    for (int64_t kk = 0; kk < n; kk++) {
+        const uint8_t* qp = q + kk * qlmax;
+        const uint8_t* rp = r + kk * rlmax;
+        int32_t qlen = qlens[kk], rlen = rlens[kk];
+        int32_t lbw = lbws[kk], rbw = rbws[kk];
+        int8_t* eop = eo + kk * (qlmax + 1) * wid;
+        int32_t* idp = idc + kk * (qlmax + 1) * wid;
+        for (int64_t j = 0; j <= wid; j++) {
+            if (j >= 1 && j <= rbw && j <= rlen && j < wid) {
+                pv[j] = -(go + (int32_t)j * ge);
+                eop[j] = OP_D;
+                idp[j] = (int32_t)j;
+            } else {
+                pv[j] = (j == 0) ? 0 : DP_WORST;
+                if (j < wid) { eop[j] = OP_U; idp[j] = 0; }
+            }
+            pf[j] = DP_WORST;
+            pi[j] = 0;
+        }
+        for (int i = 1; i <= qlen; i++) {
+            int8_t* eorow = eop + (int64_t)i * wid;
+            int32_t* idrow = idp + (int64_t)i * wid;
+            // Column-0 insert boundary while within the left band.
+            if (i <= lbw) { eorow[0] = OP_I; idrow[0] = i; }
+            else { eorow[0] = OP_U; idrow[0] = 0; }
+            int64_t jlo = (int64_t)i - lbw; if (jlo < 1) jlo = 1;
+            int64_t jhi = (int64_t)i + rbw; if (jhi > rlen) jhi = rlen;
+            for (int64_t j = 1; j < jlo && j < wid; j++) {
+                eorow[j] = OP_U; idrow[j] = 0;
+            }
+            for (int64_t j = jhi + 1; j < wid; j++) {
+                eorow[j] = OP_U; idrow[j] = 0;
+            }
+            int q_char = qp[i - 1];
+            int32_t pe_col = DP_WORST, pd_col = 0;
+            int32_t pv_col = (i <= lbw) ? -(go + i * ge) : DP_WORST;
+            for (int64_t j = 0; j <= wid; j++) v_new[j] = DP_WORST;
+            v_new[0] = (i <= lbw) ? -(go + i * ge) : pv[0];
+            for (int64_t j = jlo; j <= jhi; j++) {
+                int32_t v = pv[j - 1];
+                int r_char = rp[j - 1];
+                int8_t opcode = (q_char == r_char) ? OP_M : OP_R;
+                int32_t g = (q_char == r_char) ? v + ms : v - rc;
+                int32_t cell_idc = 0;
+                int32_t ce = pe_col - ge;
+                int32_t ne = pv_col - (go + ge);
+                if (ce >= ne && pd_col + 1 <= max_intron) {
+                    pe_col = ce; pd_col += 1;
+                } else { pe_col = ne; pd_col = 1; }
+                int32_t v1;
+                if (pe_col > g) { v1 = pe_col; opcode = OP_D;
+                                  cell_idc = pd_col; }
+                else v1 = g;
+                int32_t cf = pf[j] - ge;
+                int32_t nf = pv[j] - (go + ge);
+                int32_t f, ii;
+                if (cf >= nf && pi[j] + 1 <= max_gap) {
+                    f = cf; ii = pi[j] + 1;
+                } else { f = nf; ii = 1; }
+                int32_t v2;
+                if (f > v1) { v2 = f; opcode = OP_I; cell_idc = ii; }
+                else v2 = v1;
+                pf[j] = f;
+                pi[j] = ii;
+                eorow[j] = opcode;
+                idrow[j] = cell_idc;
+                v_new[j] = v2;
+                if (i == qlen && j == rlen) score[kk] = v2;
+                pv_col = v2;
+            }
+            for (int64_t j = 0; j <= wid; j++) pv[j] = v_new[j];
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"
