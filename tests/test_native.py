@@ -90,3 +90,52 @@ def test_native_cigar_md():
     if matches:
         exp.append(str(matches))
     assert md == "".join(exp)
+
+
+def test_native_dp_matches_numpy_twins():
+    from yaha_tpu.ops import sw_numpy
+    rng = np.random.default_rng(12)
+    n, ql, bw2 = 24, 70, 10
+    q = rng.integers(0, 4, (n, ql)).astype(np.uint8)
+    qlens = rng.integers(5, ql + 1, n).astype(np.int32)
+    rl = ql + 2 * bw2
+    r = np.zeros((n, rl), np.uint8)
+    for k in range(n):
+        L = qlens[k]
+        r[k, :L] = q[k, :L]
+        m = rng.random(L) < 0.2
+        r[k, :L][m] = rng.integers(0, 4, int(m.sum()))
+        r[k, L:] = rng.integers(0, 4, rl - L)
+    rlens = (qlens + bw2).astype(np.int32)
+    kw = dict(band_width=5, go=5, ge=2, rc=3, ms=1, max_gap=50,
+              max_intron=50, x_cutoff=25)
+    a = host.extension_forward(q, qlens, r, rlens, **kw)
+    b = sw_numpy.batched_extension_forward_np(q, qlens, r, rlens, **kw)
+    for key in ("score", "maxi", "maxj", "eo", "idc"):
+        assert np.array_equal(a[key], b[key]), key
+
+    qg = rng.integers(2, 40, n)
+    rg = rng.integers(2, 40, n)
+    qa = np.zeros((n, int(qg.max())), np.uint8)
+    ra = np.zeros((n, int(rg.max())), np.uint8)
+    lb = np.zeros(n, np.int64)
+    rb = np.zeros(n, np.int64)
+    for k in range(n):
+        qa[k, :qg[k]] = rng.integers(0, 4, qg[k])
+        ra[k, :rg[k]] = rng.integers(0, 4, rg[k])
+        if k % 2:
+            m = min(qg[k], rg[k])
+            ra[k, :m] = qa[k, :m]
+        ld = abs(int(qg[k]) - int(rg[k]))
+        if ld + 11 < rg[k]:
+            if rg[k] > qg[k]:
+                lb[k], rb[k] = 5, 5 + rg[k] - qg[k]
+            else:
+                lb[k], rb[k] = 5 + qg[k] - rg[k], 5
+        else:
+            lb[k] = rb[k] = 1000
+    kw2 = dict(go=5, ge=2, rc=3, ms=1, max_gap=50, max_intron=50)
+    a = host.anchored_forward(qa, qg, ra, rg, lb, rb, **kw2)
+    b = sw_numpy.batched_anchored_forward_np(qa, qg, ra, rg, lb, rb, **kw2)
+    for key in ("score", "eo", "idc"):
+        assert np.array_equal(a[key], b[key]), key
