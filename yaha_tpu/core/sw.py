@@ -17,6 +17,20 @@ from .editops import EditOpList, MATCH, REPLACE, INSERT, DELETE
 DP_WORST = -(0x7FFFFF00)
 _UNKNOWN = "U"
 
+_NATIVE = None
+
+
+def _native():
+    """Native C++ DP (yaha_tpu/native), if built; else None."""
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from ..native import host
+            _NATIVE = host if host.available() else False
+        except Exception:
+            _NATIVE = False
+    return _NATIVE or None
+
 
 def _find_affine_gap_score(aa, q, r, banded, extension, reverse, xcutoff,
                            band_width):
@@ -256,6 +270,25 @@ def find_ags_alignment(aa, genome_codes, r_off, r_len, q_codes, q_off, q_len,
     """findAGSAlignment[Banded] (SW.cpp:462-475): anchored gap-fill DP."""
     r = genome_codes[r_off:r_off + r_len]
     q = q_codes[q_off:q_off + q_len]
+    native = _native()
+    if native is not None:
+        from ..ops import sw_batch
+        if banded:
+            if r_len > q_len:
+                lbw, rbw = aa.band_width, aa.band_width + (r_len - q_len)
+            else:
+                lbw, rbw = aa.band_width + (q_len - r_len), aa.band_width
+        else:
+            lbw = rbw = max(q_len, r_len) + 1
+        out = native.anchored_forward(
+            np.asarray(q, np.uint8)[None, :], np.array([q_len]),
+            np.asarray(r, np.uint8)[None, :], np.array([r_len]),
+            np.array([lbw]), np.array([rbw]), go=aa.go_cost, ge=aa.ge_cost,
+            rc=aa.r_cost, ms=aa.m_score, max_gap=aa.max_gap,
+            max_intron=aa.max_intron)
+        out_list.items = sw_batch.traceback_anchored(
+            out["eo"][0], out["idc"][0], q_len, r_len)
+        return int(out["score"][0])
     score, items, _, _, _ = _find_affine_gap_score(
         aa, q, r, banded, False, False, False, aa.band_width)
     out_list.items = items
@@ -296,6 +329,32 @@ def find_ags_extension(aa, genome_codes, max_roff, r_off, q_codes, q_off,
     else:
         q = q_codes[q_off:q_off + q_len]
 
+    native = _native()
+    if native is not None:
+        from ..ops import sw_batch
+        if reverse:
+            q_arr = np.asarray(
+                q_codes[q_off - q_len + 1:q_off + 1][::-1], np.uint8)
+        else:
+            q_arr = np.asarray(q, np.uint8)
+        out = native.extension_forward(
+            q_arr[None, :], np.array([q_len]),
+            np.asarray(r, np.uint8)[None, :], np.array([r_len]),
+            band_width=aa.band_width, go=aa.go_cost, ge=aa.ge_cost,
+            rc=aa.r_cost, ms=aa.m_score, max_gap=aa.max_gap,
+            max_intron=aa.max_intron, x_cutoff=aa.x_cutoff)
+        score = int(out["score"][0])
+        if score <= 0:
+            return 0, 0, 0
+        items, added_q, added_r = sw_batch.traceback_extension(
+            out["eo"][0], out["idc"][0], int(out["maxi"][0]),
+            int(out["maxj"][0]), score, 2 * aa.band_width, reverse)
+        tmp = EditOpList(items)
+        if reverse:
+            out_list.merge_to_front(tmp)
+        else:
+            out_list.merge_to_back(tmp)
+        return score, added_q, added_r
     score, items, maxi, maxj, bw = _find_affine_gap_score(
         aa, _LenWrap(q, q_len), r, True, True, reverse, True, aa.band_width)
     if score <= 0:
