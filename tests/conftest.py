@@ -13,6 +13,16 @@ if "xla_force_host_platform_device_count" not in xf:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Build the native host library on first use (gitignored binary).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SO = os.path.join(_REPO, "yaha_tpu", "native", "libyaha_host.so")
+_SRC = os.path.join(_REPO, "yaha_tpu", "native", "yaha_host.cpp")
+if (not os.path.exists(_SO) or
+        os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+    import subprocess
+    subprocess.run(["bash", os.path.join(_REPO, "tools", "build_native.sh")],
+                   capture_output=True)
+
 import gzip
 import pytest
 import numpy as np
