@@ -51,7 +51,7 @@ def gen_genome(rng, path):
 COMP = str.maketrans("ACGTN", "TGCAN")
 
 
-def gen_reads(rng, genome, path):
+def gen_reads(rng, genome, path, fastq=False):
     names = list(genome)
     n_reads = rng.randint(5, 60)
     iupac = "RYKMSWBDHVN"
@@ -91,9 +91,13 @@ def gen_reads(rng, genome, path):
             s = "".join(s)
             if rng.random() < 0.5:
                 s = s.translate(COMP)[::-1]
-            f.write(">r%d\n" % i)
-            for j in range(0, len(s), 70):
-                f.write(s[j:j + 70] + "\n")
+            if fastq:
+                qual = "".join(chr(33 + rng.randrange(10, 40)) for _ in s)
+                f.write("@r%d\n%s\n+\n%s\n" % (i, s, qual))
+            else:
+                f.write(">r%d\n" % i)
+                for j in range(0, len(s), 70):
+                    f.write(s[j:j + 70] + "\n")
 
 
 def gen_config(rng):
@@ -149,8 +153,10 @@ def run_one(seed, keep=False):
     try:
         gpath = os.path.join(d, "g.fasta")
         genome = gen_genome(rng, gpath)
-        rpath = os.path.join(d, "reads.fasta")
-        gen_reads(rng, genome, rpath)
+        fastq = rng.random() < 0.25
+        rpath = os.path.join(d, "reads.fastq" if fastq else "reads.fasta")
+        gen_reads(rng, genome, rpath, fastq=fastq)
+        reads_name = os.path.basename(rpath)
         idx_args, cfg, out_mode = gen_config(rng)
         # Index with the reference (already byte-parity-tested; keeps the
         # fuzz focused on alignment).
@@ -159,14 +165,14 @@ def run_one(seed, keep=False):
         if r.returncode != 0:
             return "index-fail", d
         idx = [f for f in os.listdir(d) if ".X" in f][0]
-        ref_cmd = [YAHA, "-x", idx, "-q", "reads.fasta"] + cfg + \
+        ref_cmd = [YAHA, "-x", idx, "-q", reads_name] + cfg + \
             [out_mode, "ref.out"]
         r1 = subprocess.run(ref_cmd, cwd=d, capture_output=True, timeout=300)
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO
+        engine = ["--engine", "batch"] if rng.random() < 0.7 else []
         my_cmd = [sys.executable, "-m", "yaha_tpu.cli", "-x", idx, "-q",
-                  "reads.fasta", "--engine", "batch"] + cfg + \
-            [out_mode, "my.out"]
+                  reads_name] + engine + cfg + [out_mode, "my.out"]
         r2 = subprocess.run(my_cmd, cwd=d, env=env, capture_output=True,
                             timeout=1200)
         if r1.returncode != 0 or r2.returncode != 0:
