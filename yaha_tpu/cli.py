@@ -168,8 +168,8 @@ def main(argv=None):
         # yaha_tpu extensions (not in the reference CLI).
         elif a == "--engine":
             # oracle: per-read reference-exact path (default).
-            # batch:  phased batched-DP pipeline (numpy backend).
-            # batch-xla / batch-pallas: device backends.
+            # batch:  phased batched-DP pipeline (native/numpy backend).
+            # batch-numpy / batch-xla / batch-pallas: explicit backends.
             i += 1
             aa.engine = argv[i]
         elif a == "--batch-size":

@@ -10,8 +10,8 @@ DP *phases* batched across every clump of every read in the batch:
 All problems within a phase are independent in the reference (anchored
 both ends / anchored one end with inputs fixed before any DP runs), so
 batching preserves byte-parity; the parity suite runs end-to-end through
-this path.  Backends: 'numpy' (host twin), 'xla' (jit), 'pallas' (TPU
-kernel for extensions).
+this path.  Backends: 'native' (C++ host DP, default when built), 'numpy'
+(pure-Python twin), 'xla' (jit), 'pallas' (TPU kernel for extensions).
 
 Splits and careful re-extensions are rare (clumpSplit flag) and stay on
 the scalar oracle path.
