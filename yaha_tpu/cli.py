@@ -177,6 +177,12 @@ def main(argv=None):
             aa.batch_size = _parse_int(argv[i], "--batch-size")
         elif a == "--resume":
             aa.resume = True
+        elif a == "-qs":
+            # QUERYSTATS analog (Query.c:480-491, non-user builds): per-query
+            # tab-separated stats (id, length, seeds, clumps, alignments
+            # printed, microseconds).
+            i += 1
+            aa.qs_file_name = argv[i]
         else:
             print("%s is not a valid option.\n" % a, file=sys.stderr)
             sys.exit(1)

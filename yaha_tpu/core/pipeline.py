@@ -69,11 +69,14 @@ class QueryState:
         self.clumps.insert(0, clump)
 
 
-def align_query(qs: QueryState, rec) -> str:
+def align_query(qs: QueryState, rec, stats=None) -> str:
     """Process one query; returns its output text (SAM/Blast8 lines)."""
+    import time
     aa = qs.aa
     index = qs.index
     qs.set_query(rec)
+    t0 = time.perf_counter() if stats is not None else 0.0
+    seed_matches = 0
 
     for rev in (False, True):
         qs.reversed = rev
@@ -81,6 +84,7 @@ def align_query(qs: QueryState, rec) -> str:
         offsets, so_offs, counts = seed_hits(codes, index, aa.max_hits)
         if counts.sum() == 0:
             continue
+        seed_matches += int(counts.sum())
         frags = find_fragments(offsets, so_offs, counts, index.roa,
                                index.word_len)
         process_fragments_gapped(aa, qs, frags)
@@ -102,6 +106,10 @@ def align_query(qs: QueryState, rec) -> str:
     out = []
     for clump in qs.clumps:
         out.append(sam.print_clump(clump, aa, qs))
+    if stats is not None:
+        usec = int((time.perf_counter() - t0) * 1e6)
+        stats.write("%s\t%d\t%d\t%d\t%d\n" % (
+            qs.query_id, qs.query_len, seed_matches, len(qs.clumps), usec))
     return "".join(out)
 
 
@@ -115,7 +123,16 @@ def run_query_file(aa, genome, index, query_data: bytes, out_stream) -> int:
     # header is written by peeking the first byte directly.
     aa.fastq = query_data[:1] == b"@"
     out_stream.write(sam.file_header(aa, genome))
-    for rec in records:
-        out_stream.write(align_query(qs, rec))
-        n += 1
+    stats = None
+    qs_name = getattr(aa, "qs_file_name", None)
+    if qs_name:
+        stats = open(qs_name, "w")
+        stats.write("query\tlen\tseedMatches\talignments\tusec\n")
+    try:
+        for rec in records:
+            out_stream.write(align_query(qs, rec, stats=stats))
+            n += 1
+    finally:
+        if stats is not None:
+            stats.close()
     return n
