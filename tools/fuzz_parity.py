@@ -175,6 +175,11 @@ def run_one(seed, keep=False):
                   reads_name] + engine + cfg + [out_mode, "my.out"]
         r2 = subprocess.run(my_cmd, cwd=d, env=env, capture_output=True,
                             timeout=1200)
+        if r1.returncode < 0 and r2.returncode == 0:
+            # Reference crashed (observed: segfaults on some IUPAC-heavy
+            # inputs with small -BW); ours succeeded.  Not a parity
+            # failure — there is no reference output to match.
+            return "ref-crash", d
         if r1.returncode != 0 or r2.returncode != 0:
             return ("crash ref=%d mine=%d: %s" %
                     (r1.returncode, r2.returncode,
@@ -198,6 +203,9 @@ def main():
     for k in range(n):
         seed = seed0 + k
         res, d = run_one(seed, keep=False)
+        if res == "ref-crash":
+            print("seed %d: reference crashed; skipping" % seed, flush=True)
+            continue
         if res is not None and res != "index-fail":
             res2, d2 = run_one(seed, keep=True)  # keep artifacts
             print("seed %d: %s (artifacts in %s)" % (seed, res, d2),
