@@ -172,6 +172,12 @@ def main(argv=None):
             # batch-numpy / batch-xla / batch-pallas: explicit backends.
             i += 1
             aa.engine = argv[i]
+            valid = ("oracle", "batch", "batch-numpy", "batch-xla",
+                     "batch-pallas")
+            if aa.engine not in valid:
+                print("--engine must be one of: %s" % ", ".join(valid),
+                      file=sys.stderr)
+                sys.exit(1)
         elif a == "--batch-size":
             i += 1
             aa.batch_size = _parse_int(argv[i], "--batch-size")

@@ -168,6 +168,19 @@ class BatchAligner:
         elif self.backend == "numpy":
             out = sw_numpy.batched_anchored_forward_np(
                 qa, qlens, ra, rlens, lbws, rbws, **kw)
+        elif self.backend == "pallas" and rg <= 256:
+            # VMEM scratch scales with the reference-gap width; fall back
+            # to the XLA path for the rare oversized gap batch.
+            from ..ops import sw_pallas
+            pad = (-n) % sw_pallas.TILE
+            out = sw_pallas.anchored_forward_pallas(
+                np.pad(qa, ((0, pad), (0, 0))),
+                np.pad(qlens, (0, pad)),
+                np.pad(ra, ((0, pad), (0, 0))),
+                np.pad(rlens, (0, pad)),
+                np.pad(lbws, (0, pad)),
+                np.pad(rbws, (0, pad)), **kw)
+            out = {k2: np.asarray(v)[:n] for k2, v in out.items()}
         else:
             out = sw_batch.batched_anchored_forward(
                 qa, qlens, ra, rlens, lbws, rbws, **kw)

@@ -171,6 +171,192 @@ def _ext_kernel(q_ref, r_ref, qlens_ref, rlens_ref,
     maxj_out[0, 0] = maxj[0]
 
 
+def _anch_kernel(q_ref, r_ref, qlens_ref, rlens_ref, lbw_ref, rbw_ref,
+                 eo_out, idc_out, score_out,
+                 pv, pf, pi, score,
+                 *, wid, go, ge, rc, ms, max_gap, max_intron):
+    """Anchored (gap-fill) DP row step; masked full-matrix band semantics
+    identical to ops/sw_batch.batched_anchored_forward (SW.cpp:855-871
+    banded + full variants, anchored strict-> tie rules at
+    SW.cpp:1036,1054)."""
+    g = pl.program_id(1)  # 0 = boundary row, else query row i = g
+    i32 = jnp.int32
+
+    def full(v, dtype=i32):
+        return jnp.full((SUB, LANE), v, dtype)
+
+    rlens = rlens_ref[0]
+    rbw = rbw_ref[0]
+
+    @pl.when(g == 0)
+    def _init():
+        # Row-0 delete boundary for j in [1, min(rlen, rightBW)]
+        # (SW.cpp:899-923 full/banded inits in full-matrix coordinates).
+        pv[0] = full(0)
+        pf[0] = full(DP_WORST)
+        pi[0] = full(0)
+        eo_out[0, 0, 0] = full(OP_UNKNOWN, jnp.int8)
+        idc_out[0, 0, 0] = full(0)
+        live_hi = jnp.minimum(rbw, rlens)
+
+        def init_col(j, _):
+            # Arithmetic 0/1 mask (both where() branches would be
+            # lane-replicated constants, which trips the Mosaic i1
+            # relayout bug; OP_UNKNOWN is 0 so lv* is exact).
+            lv = jnp.clip(live_hi - j + 1, 0, 1)
+            pv[j] = lv * (full(-(go)) - j * ge) + (1 - lv) * DP_WORST
+            pf[j] = full(DP_WORST)
+            pi[j] = full(0)
+            eo_out[0, j, 0] = (lv * OP_DELETE).astype(jnp.int8)
+            idc_out[0, j, 0] = lv * j
+            return 0
+        jax.lax.fori_loop(1, wid, init_col, 0)
+        score[0] = full(DP_WORST)
+
+    @pl.when(g > 0)
+    def _row():
+        i = g
+        qlens = qlens_ref[0]
+        lbw = lbw_ref[0]
+        row_active = i <= qlens
+        col0_live = row_active & (i <= lbw)
+        edge_val = full(0) - (go + i * ge)
+
+        prev0 = pv[0]
+        pv[0] = jnp.where(col0_live, edge_val, pv[0])
+        lv0 = col0_live.astype(i32)
+        eo_out[0, 0, 0] = (lv0 * OP_INSERT).astype(jnp.int8)
+        idc_out[0, 0, 0] = lv0 * i
+
+        q_char = q_ref[i - 1, 0].astype(i32)
+
+        def col_step(j, carry):
+            pe_col, pd_col, pv_col, prev_old = carry
+            active = row_active & (j >= i - lbw) & (j <= i + rbw) & \
+                (j <= rlens)
+            old_j = pv[j]
+            v = prev_old
+            r_char = r_ref[j - 1, 0].astype(i32)
+            neq = jnp.minimum(jnp.abs(q_char - r_char), 1)
+            gscore = v + ms - neq * (ms + rc)
+            opcode = full(OP_MATCH) + neq * (OP_REPLACE - OP_MATCH)
+            cell_idc = full(0)
+
+            ce = pe_col - ge
+            ne = pv_col - (go + ge)
+            cont_d = (ce >= ne) & (pd_col + 1 <= max_intron)
+            pe_new = jnp.where(cont_d, ce, ne)
+            pd_new = jnp.where(cont_d, pd_col + 1, full(1))
+            take_d = pe_new > gscore   # anchored tie rule: strict >
+            v1 = jnp.where(take_d, pe_new, gscore)
+            opcode = jnp.where(take_d, full(OP_DELETE), opcode)
+            cell_idc = jnp.where(take_d, pd_new, cell_idc)
+
+            cf = pf[j] - ge
+            nf = old_j - (go + ge)
+            cont_f = (cf >= nf) & (pi[j] + 1 <= max_gap)
+            f = jnp.where(cont_f, cf, nf)
+            ii = jnp.where(cont_f, pi[j] + 1, full(1))
+            take_f = f > v1
+            v2 = jnp.where(take_f, f, v1)
+            opcode = jnp.where(take_f, full(OP_INSERT), opcode)
+            cell_idc = jnp.where(take_f, ii, cell_idc)
+
+            pf[j] = jnp.where(active, f, pf[j])
+            pi[j] = jnp.where(active, ii, pi[j])
+            eo_out[0, j, 0] = jnp.where(active, opcode,
+                                        full(OP_UNKNOWN)).astype(jnp.int8)
+            idc_out[0, j, 0] = jnp.where(active, cell_idc, full(0))
+            pv[j] = jnp.where(active, v2, pv[j])
+            score[0] = jnp.where(active & (i == qlens) & (j == rlens),
+                                 v2, score[0])
+
+            pe_col = jnp.where(active, pe_new, pe_col)
+            pd_col = jnp.where(active, pd_new, pd_col)
+            pv_col = jnp.where(active, v2, pv_col)
+            return pe_col, pd_col, pv_col, old_j
+
+        carry = (full(DP_WORST), full(0),
+                 jnp.where(i <= lbw, edge_val, full(DP_WORST)), prev0)
+        jax.lax.fori_loop(1, wid, col_step, carry)
+
+    score_out[0, 0] = score[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("go", "ge", "rc", "ms", "max_gap", "max_intron",
+                     "interpret"))
+def anchored_forward_pallas(q, qlens, r, rlens, left_bw, right_bw, *, go,
+                            ge, rc, ms, max_gap, max_intron,
+                            interpret=False):
+    """Pallas anchored forward; same contract as batched_anchored_forward
+    but with N a multiple of TILE=1024.
+
+    Returns score [N], eo [N, QL+1, RL+1] int8, idc [N, QL+1, RL+1] int32.
+    """
+    n, ql_max = q.shape
+    rl_max = r.shape[1]
+    assert n % TILE == 0, n
+    tiles = n // TILE
+    wid = rl_max + 1
+
+    q_t = q.reshape(tiles, SUB, LANE, ql_max).transpose(3, 0, 1, 2)
+    r_t = r.reshape(tiles, SUB, LANE, rl_max).transpose(3, 0, 1, 2)
+
+    def scal(x):
+        return x.astype(jnp.int32).reshape(tiles, SUB, LANE)
+
+    grid = (tiles, ql_max + 1)
+    kernel = functools.partial(
+        _anch_kernel, wid=wid, go=go, ge=ge, rc=rc, ms=ms, max_gap=max_gap,
+        max_intron=max_intron)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((ql_max + 1, wid, tiles, SUB, LANE), jnp.int8),
+        jax.ShapeDtypeStruct((ql_max + 1, wid, tiles, SUB, LANE),
+                             jnp.int32),
+        jax.ShapeDtypeStruct((1, tiles, SUB, LANE), jnp.int32),
+    )
+    eo, idc, score = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ql_max, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
+            pl.BlockSpec((rl_max, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
+            pl.BlockSpec((1, SUB, LANE), lambda t, g: (t, 0, 0)),
+            pl.BlockSpec((1, SUB, LANE), lambda t, g: (t, 0, 0)),
+            pl.BlockSpec((1, SUB, LANE), lambda t, g: (t, 0, 0)),
+            pl.BlockSpec((1, SUB, LANE), lambda t, g: (t, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, wid, 1, SUB, LANE),
+                         lambda t, g: (g, 0, t, 0, 0)),
+            pl.BlockSpec((1, wid, 1, SUB, LANE),
+                         lambda t, g: (g, 0, t, 0, 0)),
+            pl.BlockSpec((1, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((wid + 1, SUB, LANE), jnp.int32),  # PV
+            pltpu.VMEM((wid + 1, SUB, LANE), jnp.int32),  # PF
+            pltpu.VMEM((wid + 1, SUB, LANE), jnp.int32),  # PI
+            pltpu.VMEM((1, SUB, LANE), jnp.int32),        # score
+        ],
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(q_t, r_t, scal(qlens), scal(rlens), scal(left_bw), scal(right_bw))
+
+    def from_tiles(x):
+        t_axis = x.ndim - 3
+        x = jnp.moveaxis(x, (t_axis, t_axis + 1, t_axis + 2), (0, 1, 2))
+        return x.reshape((n,) + x.shape[3:])
+
+    eo = from_tiles(eo)          # [N, QL+1, WID]
+    idc = from_tiles(idc)
+    score = from_tiles(score)[:, 0]
+    return {"score": score, "eo": eo, "idc": idc}
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("band_width", "go", "ge", "rc", "ms", "max_gap",
