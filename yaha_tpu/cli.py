@@ -352,10 +352,39 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
             max_workers=aa.num_threads,
             initializer=_worker_init,
             initargs=(aa, aa.gfile_name, aa.xfile_name, backend))
+    # Pipeline overlap (the PP analog, SURVEY.md section 2.2): a writer
+    # thread emits batch k (serialize + flush + cursor) while the main
+    # thread aligns batch k+1.  Output order and the resume cursor's
+    # "fully emitted reads" invariant are preserved because the single
+    # writer consumes the queue in submission order.
+    import queue
+    import threading
+    emit_q = queue.Queue(maxsize=2)
+    emit_err = []
+    n = start_read
+
+    def _writer():
+        while True:
+            item = emit_q.get()
+            if item is None:
+                return
+            text, n_done = item
+            try:
+                with timers.stage("emit"):
+                    out.write(text)
+                    out.flush()
+                    if n_done is not None and out is not sys.stdout:
+                        with open(cursor_path, "w") as f:
+                            f.write(str(n_done))
+            except Exception as e:          # pragma: no cover
+                emit_err.append(e)
+                return
+
+    writer = threading.Thread(target=_writer, daemon=True)
+    writer.start()
     try:
         if start_read == 0:
-            out.write(sam.file_header(aa, genome))
-        n = start_read
+            emit_q.put((sam.file_header(aa, genome), None))
         for lo in range(start_read, len(records), batch_size):
             batch = records[lo:lo + batch_size]
             with timers.stage("align batch"):
@@ -369,16 +398,23 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
                         outs.extend(chunk_out)
                 else:
                     outs = aligner.align_batch(batch)
-            with timers.stage("emit"):
-                out.write("".join(outs))
-                out.flush()
+            if emit_err:
+                raise emit_err[0]
             n = lo + len(batch)
-            if out is not sys.stdout:
-                with open(cursor_path, "w") as f:
-                    f.write(str(n))
+            emit_q.put(("".join(outs), n))
+        emit_q.put(None)
+        writer.join()
+        if emit_err:
+            raise emit_err[0]
         if aa.verbose:
             timers.print_report()
     finally:
+        if writer.is_alive():
+            try:
+                emit_q.put_nowait(None)
+            except queue.Full:
+                pass
+            writer.join(timeout=30)
         if pool is not None:
             pool.shutdown()
         if out is not sys.stdout:
