@@ -341,7 +341,15 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
     out = (sys.stdout if aa.ofile_name in ("stdout", "-")
            else open(aa.ofile_name, mode))
     pool = None
-    if aa.num_threads > 1 and backend == "numpy":
+    if backend in ("auto", "numpy"):
+        # Resolve "auto" here so the host-parallel gate below sees the
+        # actual backend (BatchAligner would otherwise resolve it after
+        # the pool decision and -t would silently be ignored for the
+        # native path).
+        from .native import host as native_host
+        backend = ("native" if backend == "auto" and native_host.available()
+                   else "numpy" if backend == "auto" else backend)
+    if aa.num_threads > 1 and backend in ("numpy", "native"):
         # Host data parallelism (the reference's pthread analog,
         # Query.c:642-691): reads shard across worker processes; outputs
         # are concatenated in read order, and per-read RNG streams are
@@ -385,12 +393,16 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
     try:
         if start_read == 0:
             emit_q.put((sam.file_header(aa, genome), None))
-        for lo in range(start_read, len(records), batch_size):
-            batch = records[lo:lo + batch_size]
+        # With a worker pool, dispatch num_threads x batch_size reads per
+        # round (one batch_size slice per worker) so per-task IPC overhead
+        # amortizes over a full batch; the resume cursor advances by the
+        # round size, still on fully-emitted boundaries.
+        step = batch_size * (aa.num_threads if pool is not None else 1)
+        for lo in range(start_read, len(records), step):
+            batch = records[lo:lo + step]
             with timers.stage("align batch"):
                 if pool is not None:
-                    per = max(1, (len(batch) + aa.num_threads - 1)
-                              // aa.num_threads)
+                    per = batch_size
                     chunks = [batch[k:k + per]
                               for k in range(0, len(batch), per)]
                     outs = []

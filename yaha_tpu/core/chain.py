@@ -153,6 +153,10 @@ def build_best_clump(aa, qs, frags, used, start, end, clump: Clump) -> None:
     # Sort ascending (SQO, diag) — compareFragsByQueryOffsets
     # (GraphPath.cpp:148-159).
     nodes.sort(key=lambda n: (n.sqo, n.diag))
+    if _native_chain() is not None:
+        best_node = _chain_dp_native(aa, nodes)
+        _emit_best_path(aa, qs, best_node, clump)
+        return
     if len(nodes) >= 24:
         best_node = _chain_dp_vectorized(aa, nodes)
         _emit_best_path(aa, qs, best_node, clump)
@@ -233,6 +237,35 @@ def _emit_best_path(aa, qs, best_node, clump: Clump) -> None:
         clump.reset()
     else:
         clean_up_clump(clump, aa)
+
+
+_NATIVE_CHAIN = 0  # 0 = unprobed, None = unavailable, module = host
+
+
+def _native_chain():
+    global _NATIVE_CHAIN
+    if _NATIVE_CHAIN == 0:
+        from ..native import host
+        _NATIVE_CHAIN = host if host.available() else None
+    return _NATIVE_CHAIN
+
+
+def _chain_dp_native(aa, nodes):
+    """C-speed chain DP (native.host.chain_dp); same semantics as the
+    scalar loop and _chain_dp_vectorized."""
+    import numpy as np
+    host = _native_chain()
+    sqo = np.array([nd.sqo for nd in nodes], np.int64)
+    eqo = np.array([nd.eqo for nd in nodes], np.int64)
+    diag = np.array([nd.diag for nd in nodes], np.int64)
+    length = np.array([nd.node_length for nd in nodes], np.int64)
+    best, _, prev_idx, _, _ = host.chain_dp(
+        sqo, eqo, diag, length, max_gap=aa.max_gap,
+        max_desert=aa.max_desert, m_score=aa.m_score, go_cost=aa.go_cost,
+        ge_cost=aa.ge_cost)
+    for k, nd in enumerate(nodes):
+        nd.best_prev = nodes[prev_idx[k]] if prev_idx[k] >= 0 else None
+    return nodes[best]
 
 
 def _chain_dp_vectorized(aa, nodes):

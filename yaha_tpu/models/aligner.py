@@ -31,7 +31,7 @@ from ..core.frags import seed_hits, find_fragments
 from ..core.oqc import post_filter_by_similarity, post_filter_remove_dups
 from ..core.pipeline import QueryState
 from ..io import sam
-from ..ops import sw_batch, sw_numpy
+from ..ops import dp_common, sw_numpy
 
 M32 = 0xFFFFFFFF
 
@@ -182,11 +182,12 @@ class BatchAligner:
                 np.pad(rbws, (0, pad)), **kw)
             out = {k2: np.asarray(v)[:n] for k2, v in out.items()}
         else:
+            from ..ops import sw_batch
             out = sw_batch.batched_anchored_forward(
                 qa, qlens, ra, rlens, lbws, rbws, **kw)
             out = {k2: np.asarray(v) for k2, v in out.items()}
         for k, p in enumerate(problems):
-            items = sw_batch.traceback_anchored(out["eo"][k], out["idc"][k],
+            items = dp_common.traceback_anchored(out["eo"][k], out["idc"][k],
                                                 p.qlen, p.rlen)
             p.sfrag.eol.items = items
             p.sfrag.score = int(out["score"][k])
@@ -297,12 +298,13 @@ class BatchAligner:
                 np.pad(rlens, (0, pad)), **kw)
             out = {k2: np.asarray(v)[:n] for k2, v in out.items()}
         else:
+            from ..ops import sw_batch
             out = sw_batch.batched_extension_forward(
                 qa, qlens, ra, rlens, **kw)
             out = {k2: np.asarray(v) for k2, v in out.items()}
         for k, p in enumerate(problems):
             score = int(out["score"][k])
-            items, aq, ar = sw_batch.traceback_extension(
+            items, aq, ar = dp_common.traceback_extension(
                 out["eo"][k], out["idc"][k], int(out["maxi"][k]),
                 int(out["maxj"][k]), score, bw2, p.reverse)
             if score <= 0:

@@ -212,3 +212,39 @@ def anchored_forward(q, qlens, r, rlens, left_bw, right_bw, *, go, ge, rc,
         p(eo, ct.c_int8), p(idc, ct.c_int32), p(score, ct.c_int32))
     assert rcode == 0
     return {"score": score, "eo": eo, "idc": idc}
+
+
+def chain_dp(sqo, eqo, diag, length, *, max_gap, max_desert, m_score,
+             go_cost, ge_cost):
+    """C-speed fragment-chain DP (buildBestClumpFromFragmentRange,
+    GraphPath.cpp:161-270) over one sorted node range.
+
+    Returns (best_idx, best_score, prev_idx, path_length, path_sqo);
+    best_idx is -1 for an empty range.
+    """
+    lib = _load()
+    import ctypes as ct
+    n = len(sqo)
+    sqo = np.ascontiguousarray(sqo, np.int64)
+    eqo = np.ascontiguousarray(eqo, np.int64)
+    diag = np.ascontiguousarray(diag, np.int64)
+    length = np.ascontiguousarray(length, np.int64)
+    best_score = np.empty(n, np.int64)
+    prev_idx = np.empty(n, np.int64)
+    path_length = np.empty(n, np.int64)
+    path_sqo = np.empty(n, np.int64)
+    if not hasattr(lib, "_chain_sig"):
+        lib.yt_chain_dp.argtypes = [ct.c_int64] + \
+            [ct.POINTER(ct.c_int64)] * 4 + [ct.c_int64] * 5 + \
+            [ct.POINTER(ct.c_int64)] * 4
+        lib.yt_chain_dp.restype = ct.c_int64
+        lib._chain_sig = True
+
+    def p(a):
+        return a.ctypes.data_as(ct.POINTER(ct.c_int64))
+
+    best = lib.yt_chain_dp(n, p(sqo), p(eqo), p(diag), p(length),
+                           max_gap, max_desert, m_score, go_cost, ge_cost,
+                           p(best_score), p(prev_idx), p(path_length),
+                           p(path_sqo))
+    return int(best), best_score, prev_idx, path_length, path_sqo

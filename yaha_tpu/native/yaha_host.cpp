@@ -344,6 +344,85 @@ int yt_map_codes(const uint8_t* chars, int64_t n, uint8_t* codes) {
     return 0;
 }
 
+// Fragment-chain DP over one sorted node range
+// (buildBestClumpFromFragmentRange, GraphPath.cpp:161-270).  Nodes arrive
+// sorted ascending by (SQO, diag); arrays are SoA.  Stored best scores
+// wrap to int16 (SINT) while each candidate newScore compares unwrapped
+// (`int newScore`, GraphPath.cpp:230).  Returns the best end-node index.
+int64_t yt_chain_dp(int64_t n, const int64_t* sqo, const int64_t* eqo,
+                    const int64_t* diag, const int64_t* length,
+                    int64_t max_gap, int64_t max_desert, int64_t m_score,
+                    int64_t go_cost, int64_t ge_cost,
+                    int64_t* best_score, int64_t* prev_idx,
+                    int64_t* path_length, int64_t* path_sqo) {
+    const int64_t M32 = 0xFFFFFFFFll;
+    std::vector<int64_t> sro(n), ero(n), length_w(n);
+    for (int64_t i = 0; i < n; i++) {
+        sro[i] = (diag[i] + sqo[i]) & M32;
+        ero[i] = (diag[i] + eqo[i]) & M32;
+        // SINT nodeLength/bestScore stores (int16 wrap), as in _Node.
+        int64_t lw = ((length[i] + 0x8000) & 0xFFFF) - 0x8000;
+        length_w[i] = lw;
+        best_score[i] = ((lw * m_score + 0x8000) & 0xFFFF) - 0x8000;
+        prev_idx[i] = -1;
+        path_length[i] = 1;
+        path_sqo[i] = sqo[i];
+    }
+    for (int64_t i = 0; i + 1 < n; i++) {
+        for (int64_t j = i + 1; j < n; j++) {
+            if (sqo[j] == sqo[i]) continue;   // same-SQO run: never an edge
+            int64_t dgap = diag[j] >= diag[i] ? diag[j] - diag[i]
+                                              : diag[i] - diag[j];
+            if (dgap > max_gap) continue;
+            if (sro[j] <= sro[i]) continue;
+            int64_t q_gap = sqo[j] > eqo[i] ? sqo[j] - eqo[i] - 1 : 0;
+            int64_t r_gap = sro[j] > ero[i] ? sro[j] - ero[i] - 1 : 0;
+            if ((q_gap < r_gap ? q_gap : r_gap) > max_desert) continue;
+            int64_t q_ov = eqo[i] >= sqo[j] ? eqo[i] - sqo[j] + 1 : 0;
+            int64_t r_ov = ero[i] >= sro[j] ? ero[i] - sro[j] + 1 : 0;
+            int64_t newbases = length_w[j] - (q_ov > r_ov ? q_ov : r_ov);
+            if (newbases < 1) continue;
+            int64_t gap_cost = dgap > 0 ? -(go_cost + dgap * ge_cost) : 0;
+            int64_t new_score = best_score[i] + newbases * m_score
+                                + gap_cost;
+            if (best_score[j] > new_score) continue;
+            if (best_score[j] == new_score) {
+                int64_t p = prev_idx[j];
+                if (p < 0) continue;
+                // Tie cascade vs the stored prev (GraphPath.cpp:239-251).
+                int64_t pdd = diag[p] >= diag[j] ? diag[p] - diag[j]
+                                                 : diag[j] - diag[p];
+                int64_t diag_cmp = dgap - pdd;
+                if (diag_cmp > 0) continue;
+                if (diag_cmp == 0) {
+                    int64_t pgap = sqo[j] > eqo[p] ? sqo[j] - eqo[p] - 1
+                                                   : 0;
+                    int64_t gap_cmp = q_gap - pgap;
+                    if (gap_cmp > 0) continue;
+                    if (gap_cmp == 0 && path_sqo[i] <= path_sqo[p])
+                        continue;
+                }
+            }
+            best_score[j] = ((new_score + 0x8000) & 0xFFFF) - 0x8000;
+            prev_idx[j] = i;
+            path_length[j] = path_length[i] + 1;
+            path_sqo[j] = path_sqo[i];
+        }
+    }
+    // Best-node fold in ascending order (GraphPath.cpp:259-266).
+    int64_t best = -1, best_sc = -(0x7FFFFF00ll);
+    for (int64_t i = 0; i < n; i++) {
+        if (best_score[i] < best_sc) continue;
+        if (best_score[i] > best_sc ||
+            (eqo[i] != eqo[best] ? eqo[i] < eqo[best]
+                                 : path_sqo[i] > path_sqo[best])) {
+            best = i;
+            best_sc = best_score[i];
+        }
+    }
+    return best;
+}
+
 }  // extern "C"
 
 // ---------- host DP fallbacks ----------

@@ -9,8 +9,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .sw_batch import (DP_WORST, OP_UNKNOWN, OP_MATCH, OP_REPLACE,
-                       OP_INSERT, OP_DELETE)
+from .dp_common import (DP_WORST, OP_UNKNOWN, OP_MATCH, OP_REPLACE,
+                        OP_INSERT, OP_DELETE)
 
 
 def batched_extension_forward_np(q, qlens, r, rlens, *, band_width, go, ge,
