@@ -272,7 +272,7 @@ def find_ags_alignment(aa, genome_codes, r_off, r_len, q_codes, q_off, q_len,
     q = q_codes[q_off:q_off + q_len]
     native = _native()
     if native is not None:
-        from ..ops import sw_batch
+        from ..ops import dp_common as sw_batch
         if banded:
             if r_len > q_len:
                 lbw, rbw = aa.band_width, aa.band_width + (r_len - q_len)
@@ -331,7 +331,7 @@ def find_ags_extension(aa, genome_codes, max_roff, r_off, q_codes, q_off,
 
     native = _native()
     if native is not None:
-        from ..ops import sw_batch
+        from ..ops import dp_common as sw_batch
         if reverse:
             q_arr = np.asarray(
                 q_codes[q_off - q_len + 1:q_off + 1][::-1], np.uint8)

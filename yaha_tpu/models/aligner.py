@@ -186,10 +186,16 @@ class BatchAligner:
             out = sw_batch.batched_anchored_forward(
                 qa, qlens, ra, rlens, lbws, rbws, **kw)
             out = {k2: np.asarray(v) for k2, v in out.items()}
+        from ..native import host as native_host
+        if native_host.available():
+            all_items = native_host.traceback_anchored_batch(
+                out["eo"], out["idc"], qlens, rlens)
+        else:
+            all_items = [dp_common.traceback_anchored(
+                out["eo"][k], out["idc"][k], p.qlen, p.rlen)
+                for k, p in enumerate(problems)]
         for k, p in enumerate(problems):
-            items = dp_common.traceback_anchored(out["eo"][k], out["idc"][k],
-                                                p.qlen, p.rlen)
-            p.sfrag.eol.items = items
+            p.sfrag.eol.items = all_items[k]
             p.sfrag.score = int(out["score"][k])
 
     # ----- phase B: clump extensions -----
@@ -302,11 +308,24 @@ class BatchAligner:
             out = sw_batch.batched_extension_forward(
                 qa, qlens, ra, rlens, **kw)
             out = {k2: np.asarray(v) for k2, v in out.items()}
+        from ..native import host as native_host
+        if native_host.available():
+            rev = np.array([p.reverse for p in problems], np.uint8)
+            all_items = native_host.traceback_extension_batch(
+                out["eo"], out["idc"], out["maxi"], out["maxj"],
+                out["score"], rev)
+        else:
+            all_items = None
         for k, p in enumerate(problems):
             score = int(out["score"][k])
-            items, aq, ar = dp_common.traceback_extension(
-                out["eo"][k], out["idc"][k], int(out["maxi"][k]),
-                int(out["maxj"][k]), score, bw2, p.reverse)
+            if all_items is not None:
+                items = all_items[k]
+                aq = int(out["maxi"][k])
+                ar = aq + (int(out["maxj"][k]) - bw2)
+            else:
+                items, aq, ar = dp_common.traceback_extension(
+                    out["eo"][k], out["idc"][k], int(out["maxi"][k]),
+                    int(out["maxj"][k]), score, bw2, p.reverse)
             if score <= 0:
                 continue
             tmp = EditOpList(items)

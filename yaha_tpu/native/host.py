@@ -248,3 +248,85 @@ def chain_dp(sqo, eqo, diag, length, *, max_gap, max_desert, m_score,
                            p(best_score), p(prev_idx), p(path_length),
                            p(path_sqo))
     return int(best), best_score, prev_idx, path_length, path_sqo
+
+
+def _tb_sig(lib):
+    import ctypes as ct
+    if not hasattr(lib, "_tbb_sig"):
+        lib.yt_traceback_anchored_batch.argtypes = [
+            ct.POINTER(ct.c_int8), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
+            ct.c_int64, ct.c_int64, ct.c_int64,
+            ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int64), ct.c_int64]
+        lib.yt_traceback_extension_batch.argtypes = [
+            ct.POINTER(ct.c_int8), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32), ct.POINTER(ct.c_uint8),
+            ct.c_int64, ct.c_int64, ct.c_int64,
+            ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int64), ct.c_int64]
+        lib._tbb_sig = True
+
+
+def _tb_items(ops_b, lens, lo, hi):
+    return [[ops_b[i], int(lens[i])] for i in range(lo, hi)]
+
+
+def traceback_anchored_batch(eo, idc, qlens, rlens):
+    """Batched anchored run-length decode; returns list of items lists
+    (same content as dp_common.traceback_anchored per problem)."""
+    lib = _load()
+    import ctypes as ct
+    _tb_sig(lib)
+    eo = np.ascontiguousarray(eo, np.int8)
+    idc = np.ascontiguousarray(idc, np.int32)
+    n, eo_h, eo_w = eo.shape
+    qlens = np.ascontiguousarray(qlens, np.int64)
+    rlens = np.ascontiguousarray(rlens, np.int64)
+    cap = int(np.sum(qlens + rlens) + 2 * n + 8)
+    ops = np.empty(cap, np.uint8)
+    lens = np.empty(cap, np.int32)
+    offs = np.empty(n + 1, np.int64)
+
+    def p(a, t):
+        return a.ctypes.data_as(ct.POINTER(t))
+
+    rc = lib.yt_traceback_anchored_batch(
+        p(eo, ct.c_int8), p(idc, ct.c_int32), p(qlens, ct.c_int64),
+        p(rlens, ct.c_int64), n, eo_h, eo_w,
+        p(ops, ct.c_uint8), p(lens, ct.c_int32), p(offs, ct.c_int64), cap)
+    assert rc == 0
+    ops_b = ops.tobytes().decode("latin1")
+    return [_tb_items(ops_b, lens, offs[k], offs[k + 1]) for k in range(n)]
+
+
+def traceback_extension_batch(eo, idc, maxi, maxj, score, reverse):
+    """Batched extension run-length decode; per-problem items match
+    dp_common.traceback_extension (empty list when score <= 0)."""
+    lib = _load()
+    import ctypes as ct
+    _tb_sig(lib)
+    eo = np.ascontiguousarray(eo, np.int8)
+    idc = np.ascontiguousarray(idc, np.int32)
+    n, eo_h, eo_w = eo.shape
+    maxi = np.ascontiguousarray(maxi, np.int32)
+    maxj = np.ascontiguousarray(maxj, np.int32)
+    score = np.ascontiguousarray(score, np.int32)
+    reverse = np.ascontiguousarray(reverse, np.uint8)
+    cap = int(n * (eo_h + eo_w + 2) + 8)
+    ops = np.empty(cap, np.uint8)
+    lens = np.empty(cap, np.int32)
+    offs = np.empty(n + 1, np.int64)
+
+    def p(a, t):
+        return a.ctypes.data_as(ct.POINTER(t))
+
+    rc = lib.yt_traceback_extension_batch(
+        p(eo, ct.c_int8), p(idc, ct.c_int32), p(maxi, ct.c_int32),
+        p(maxj, ct.c_int32), p(score, ct.c_int32), p(reverse, ct.c_uint8),
+        n, eo_h, eo_w,
+        p(ops, ct.c_uint8), p(lens, ct.c_int32), p(offs, ct.c_int64), cap)
+    assert rc == 0
+    ops_b = ops.tobytes().decode("latin1")
+    return [_tb_items(ops_b, lens, offs[k], offs[k + 1]) for k in range(n)]

@@ -423,6 +423,108 @@ int64_t yt_chain_dp(int64_t n, const int64_t* sqo, const int64_t* eqo,
     return best;
 }
 
+// Batched run-length backtrack decodes (SW.cpp:1137-1195).  One call
+// decodes every problem of a phase; per-problem runs land in flat
+// (ops, lens) arrays with prefix offsets.  Python slices per problem.
+// Anchored walk (non-banded arm, SW.cpp:1172-1178) in full coordinates.
+int yt_traceback_anchored_batch(const int8_t* eo, const int32_t* idc,
+                                const int64_t* qlens, const int64_t* rlens,
+                                int64_t n, int64_t eo_h, int64_t eo_w,
+                                uint8_t* ops, int32_t* lens,
+                                int64_t* offs, int64_t cap) {
+    static const char opch[5] = {'U', 'M', 'R', 'I', 'D'};
+    int64_t pos = 0;
+    for (int64_t k = 0; k < n; k++) {
+        offs[k] = pos;
+        const int8_t* e = eo + k * eo_h * eo_w;
+        const int32_t* d = idc + k * eo_h * eo_w;
+        int64_t x = rlens[k], y = qlens[k];
+        int prev = e[y * eo_w + x];
+        int64_t op_len = 0;
+        int64_t start = pos;
+        // Emit in walk order (end->start), reversed by the caller.
+        for (;;) {
+            int code = e[y * eo_w + x];
+            if (code == 0) break;        // OP_UNKNOWN
+            int64_t length = d[y * eo_w + x];
+            if (code == 4) x -= length;              // delete
+            else if (code == 3) y -= length;         // insert
+            else { x -= 1; y -= 1; length = 1; }
+            if (prev != code) {
+                if (pos >= cap) return -1;
+                ops[pos] = (uint8_t)opch[prev];
+                lens[pos++] = (int32_t)op_len;
+                prev = code;
+                op_len = length;
+            } else {
+                op_len += length;
+            }
+        }
+        if (pos >= cap) return -1;
+        ops[pos] = (uint8_t)opch[prev];
+        lens[pos++] = (int32_t)op_len;
+        // Reverse to final (front-to-back) order.
+        for (int64_t a = start, b = pos - 1; a < b; a++, b--) {
+            uint8_t t0 = ops[a]; ops[a] = ops[b]; ops[b] = t0;
+            int32_t t1 = lens[a]; lens[a] = lens[b]; lens[b] = t1;
+        }
+    }
+    offs[n] = pos;
+    return 0;
+}
+
+// Extension walk (banded arm, SW.cpp:1137-1168).  reverse problems keep
+// walk order (merge_to_front), forward problems are reversed.  Problems
+// with score <= 0 decode to an empty run list.
+int yt_traceback_extension_batch(const int8_t* eo, const int32_t* idc,
+                                 const int32_t* maxi, const int32_t* maxj,
+                                 const int32_t* score,
+                                 const uint8_t* reverse,
+                                 int64_t n, int64_t eo_h, int64_t eo_w,
+                                 uint8_t* ops, int32_t* lens,
+                                 int64_t* offs, int64_t cap) {
+    static const char opch[5] = {'U', 'M', 'R', 'I', 'D'};
+    int64_t pos = 0;
+    for (int64_t k = 0; k < n; k++) {
+        offs[k] = pos;
+        if (score[k] <= 0) continue;
+        const int8_t* e = eo + k * eo_h * eo_w;
+        const int32_t* d = idc + k * eo_h * eo_w;
+        int64_t x = maxj[k], y = maxi[k];
+        int prev = e[y * eo_w + x];
+        int64_t op_len = 0;
+        int64_t start = pos;
+        for (;;) {
+            int code = e[y * eo_w + x];
+            if (code == 0) break;
+            int64_t length = d[y * eo_w + x];
+            if (code == 4) x -= length;              // delete: left in band
+            else if (code == 3) { x += length; y -= length; }  // insert
+            else { y -= 1; length = 1; }             // M/R: up
+            if (prev != code) {
+                if (pos >= cap) return -1;
+                ops[pos] = (uint8_t)opch[prev];
+                lens[pos++] = (int32_t)op_len;
+                prev = code;
+                op_len = length;
+            } else {
+                op_len += length;
+            }
+        }
+        if (pos >= cap) return -1;
+        ops[pos] = (uint8_t)opch[prev];
+        lens[pos++] = (int32_t)op_len;
+        if (!reverse[k]) {
+            for (int64_t a = start, b = pos - 1; a < b; a++, b--) {
+                uint8_t t0 = ops[a]; ops[a] = ops[b]; ops[b] = t0;
+                int32_t t1 = lens[a]; lens[a] = lens[b]; lens[b] = t1;
+            }
+        }
+    }
+    offs[n] = pos;
+    return 0;
+}
+
 }  // extern "C"
 
 // ---------- host DP fallbacks ----------
