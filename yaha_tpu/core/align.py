@@ -6,6 +6,8 @@ cascade (AlignExtFrag.cpp:30-234), and the clump DP extensions.
 """
 from __future__ import annotations
 
+import numpy as np
+
 from .cints import wrap_u16
 from .clumps import Clump, SFragment
 from .editops import EditOpList, MATCH, REPLACE, INSERT, DELETE
@@ -14,12 +16,17 @@ from . import sw
 
 
 def extend_forward_perfect(frag, genome_codes, q_codes, length) -> int:
-    """extendFragmentForwardToStopPerfectly (AlignExtFrag.cpp:30-38)."""
+    """extendFragmentForwardToStopPerfectly (AlignExtFrag.cpp:30-38).
+
+    Slice-compare formulation of the reference's per-base loop: count is
+    the first mismatch position (or `length` on a full match)."""
+    if length <= 0:
+        return 0
     q_off = frag.eqo + 1
     r_off = frag.ero + 1
-    count = 0
-    while count < length and q_codes[q_off + count] == genome_codes[r_off + count]:
-        count += 1
+    neq = np.flatnonzero(q_codes[q_off:q_off + length] !=
+                         genome_codes[r_off:r_off + length])
+    count = int(neq[0]) if len(neq) else length
     if count > 0:
         frag.add_back(count)
     return count
@@ -27,11 +34,14 @@ def extend_forward_perfect(frag, genome_codes, q_codes, length) -> int:
 
 def extend_backward_perfect(frag, genome_codes, q_codes, length) -> int:
     """extendFragmentBackwardToStopPerfectly (AlignExtFrag.cpp:40-48)."""
+    if length <= 0:
+        return 0
     q_off = frag.sqo - 1
     r_off = frag.sro - 1
-    count = 0
-    while count < length and q_codes[q_off - count] == genome_codes[r_off - count]:
-        count += 1
+    neq = np.flatnonzero(
+        q_codes[q_off - length + 1:q_off + 1][::-1] !=
+        genome_codes[r_off - length + 1:r_off + 1][::-1])
+    count = int(neq[0]) if len(neq) else length
     if count > 0:
         frag.add_front(count)
     return count

@@ -397,6 +397,27 @@ def process_fragments_gapped(aa, qs, frags) -> None:
     frag_count = len(frags)
     if frag_count == 0:
         return
+    host = _native_chain()
+    if host is not None:
+        import numpy as np
+        res = host.frags_to_clumps(
+            np.array([f.sqo for f in frags], np.int64),
+            np.array([f.eqo for f in frags], np.int64),
+            np.array([f.sro for f in frags], np.int64),
+            qs.query_len, aa)
+        if res is not None:
+            offs, o_sqo, o_eqo, o_sro, matched = res
+            for k in range(len(offs) - 1):
+                clump = Clump()
+                for i in range(offs[k], offs[k + 1]):
+                    sf = SFragment(Fragment(
+                        sqo=int(o_sqo[i]), eqo=int(o_eqo[i]),
+                        sro=int(o_sro[i]),
+                        ref_len=int(o_eqo[i] - o_sqo[i] + 1)))
+                    clump.sfrags.append(sf)
+                clump.matched_bases = int(matched[k])
+                qs.add_clump(clump)
+            return
     used = [False] * frag_count
     next_frag = 0
     while next_frag < frag_count:

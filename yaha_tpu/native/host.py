@@ -330,3 +330,44 @@ def traceback_extension_batch(eo, idc, maxi, maxj, score, reverse):
     assert rc == 0
     ops_b = ops.tobytes().decode("latin1")
     return [_tb_items(ops_b, lens, offs[k], offs[k + 1]) for k in range(n)]
+
+
+def frags_to_clumps(sqo, eqo, sro, query_len, aa):
+    """C-speed fragment->clump stage (processFragmentsGapped,
+    QueryMatch.c:224-303 + GraphPath.cpp:272-292 + AlignHelpers.c:48-193)
+    for one strand.  Returns (clump_offs, out_sqo, out_eqo, out_sro,
+    matched) with clumps in emission order, or None on capacity overflow
+    (caller falls back to the Python path).
+    """
+    lib = _load()
+    import ctypes as ct
+    n = len(sqo)
+    sqo = np.ascontiguousarray(sqo, np.int64)
+    eqo = np.ascontiguousarray(eqo, np.int64)
+    sro = np.ascontiguousarray(sro, np.int64)
+    cap_frags = 16 * n + 1024
+    cap_clumps = 4 * n + 64
+    out_sqo = np.empty(cap_frags, np.int64)
+    out_eqo = np.empty(cap_frags, np.int64)
+    out_sro = np.empty(cap_frags, np.int64)
+    clump_offs = np.empty(cap_clumps + 1, np.int64)
+    matched = np.empty(cap_clumps, np.int64)
+    if not hasattr(lib, "_f2c_sig"):
+        lib.yt_frags_to_clumps.argtypes = \
+            [ct.POINTER(ct.c_int64)] * 3 + [ct.c_int64] * 11 + \
+            [ct.POINTER(ct.c_int64)] * 5 + [ct.c_int64] * 2
+        lib.yt_frags_to_clumps.restype = ct.c_int64
+        lib._f2c_sig = True
+
+    def p(a):
+        return a.ctypes.data_as(ct.POINTER(ct.c_int64))
+
+    nc = lib.yt_frags_to_clumps(
+        p(sqo), p(eqo), p(sro), n, query_len,
+        aa.max_gap, aa.max_desert, aa.min_match, aa.min_non_overlap,
+        aa.m_score, aa.go_cost, aa.ge_cost, aa.band_width, aa.word_len,
+        p(out_sqo), p(out_eqo), p(out_sro), p(clump_offs), p(matched),
+        cap_frags, cap_clumps)
+    if nc < 0:
+        return None
+    return clump_offs[:nc + 1], out_sqo, out_eqo, out_sro, matched

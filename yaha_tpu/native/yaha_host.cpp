@@ -15,6 +15,7 @@
 #include <cstdio>
 #include <string>
 #include <vector>
+#include <algorithm>
 
 extern "C" {
 
@@ -421,6 +422,245 @@ int64_t yt_chain_dp(int64_t n, const int64_t* sqo, const int64_t* eqo,
         }
     }
     return best;
+}
+
+// ---------- fragment -> clump stage ----------
+//
+// processFragmentsGapped / processFragmentRangeUsingGraph / insertFragment
+// / cleanUpClump / eliminateFragments (QueryMatch.c:146-303,
+// GraphPath.cpp:161-292, AlignHelpers.c:48-193) for one strand of one
+// read, operating on fragment SoA.  Fragments keep the q_len == ref_len
+// invariant during chaining (raw exact-match runs; chops shrink both), so
+// one length suffices.  Chop mutations on the incoming fragment persist
+// in the shared arrays across extraction rounds, exactly like the
+// reference (the chop writes back to the per-strand fragment array).
+
+namespace {
+
+struct CFrag { int64_t sqo, eqo, sro; };
+
+static inline int64_t f_len(const CFrag& f) { return f.eqo - f.sqo + 1; }
+static inline int64_t f_ero(const CFrag& f) {
+    return (f.sro + f_len(f) - 1) & 0xFFFFFFFFll;
+}
+static inline int64_t f_diag(const CFrag& f) {
+    return (f.sro - f.sqo) & 0xFFFFFFFFll;
+}
+static inline int64_t adiff(int64_t a, int64_t b) {
+    return a >= b ? a - b : b - a;
+}
+static inline int64_t cgap(int64_t a, int64_t b) {
+    return b > a ? b - a - 1 : 0;
+}
+static inline int64_t cover(int64_t low, int64_t high) {  // calcOverlap
+    return low >= high ? low - high + 1 : 0;
+}
+
+// cleanUpClump (AlignHelpers.c:92-193) over the clump's copied frags.
+static void clean_up_clump(std::vector<CFrag>& v, int64_t wl,
+                           int64_t max_gap, int64_t band_width) {
+    int64_t p1 = 0, p2 = (int64_t)v.size() > 1 ? 1 : -1,
+            p3 = (int64_t)v.size() > 2 ? 2 : -1;
+    while (p2 >= 0 && p3 >= 0) {
+        if (f_len(v[p2]) < wl) {
+            int64_t ai = p3;
+            while (f_len(v[ai]) < wl && ai + 1 < (int64_t)v.size()) ai++;
+            int64_t f1_diag = f_diag(v[p1]);
+            int64_t anchor_diag = f_diag(v[ai]);
+            if (adiff(f1_diag, anchor_diag) <= max_gap) {
+                int64_t j = p2;
+                while (j != ai) {
+                    int64_t dd = f_diag(v[j]);
+                    bool mid = !((dd < f1_diag && dd < anchor_diag) ||
+                                 (dd > f1_diag && dd > anchor_diag));
+                    if (mid || (adiff(f1_diag, dd) <= band_width ||
+                                adiff(dd, anchor_diag) <= band_width)) {
+                        v.erase(v.begin() + j);
+                        ai--;
+                    } else {
+                        j++;
+                    }
+                }
+            }
+            p1 = ai;
+            p2 = ai + 1 < (int64_t)v.size() ? ai + 1 : -1;
+        } else {
+            p1 = p2;
+            p2 = p3;
+        }
+        if (p2 >= 0)
+            p3 = p2 + 1 < (int64_t)v.size() ? p2 + 1 : -1;
+    }
+    // First fragment (vs 2x bandwidth adjacency, AlignHelpers.c:160-176).
+    if (v.size() >= 2 && f_len(v[0]) < wl) {
+        int64_t q_gap = cgap(v[0].eqo, v[1].sqo);
+        int64_t r_gap = cgap(f_ero(v[0]), v[1].sro);
+        if ((q_gap == 0 && r_gap <= 2 * band_width) ||
+            (r_gap == 0 && q_gap <= 2 * band_width))
+            v.erase(v.begin());
+    }
+    // Last fragment (AlignHelpers.c:178-193).
+    if (!v.empty() && f_len(v.back()) < wl) {
+        if (v.size() < 2) return;
+        const CFrag& a = v[v.size() - 2];
+        const CFrag& b = v.back();
+        int64_t q_gap = cgap(a.eqo, b.sqo);
+        int64_t r_gap = cgap(f_ero(a), b.sro);
+        if ((q_gap == 0 && r_gap <= 2 * band_width) ||
+            (r_gap == 0 && q_gap <= 2 * band_width))
+            v.pop_back();
+    }
+}
+
+}  // namespace
+
+int64_t yt_frags_to_clumps(
+        const int64_t* in_sqo, const int64_t* in_eqo, const int64_t* in_sro,
+        int64_t n, int64_t query_len,
+        int64_t max_gap, int64_t max_desert, int64_t min_match,
+        int64_t min_non_overlap, int64_t m_score, int64_t go_cost,
+        int64_t ge_cost, int64_t band_width, int64_t word_len,
+        int64_t* out_sqo, int64_t* out_eqo, int64_t* out_sro,
+        int64_t* clump_offs, int64_t* clump_matched,
+        int64_t cap_frags, int64_t cap_clumps) {
+    std::vector<CFrag> frags((size_t)n);
+    for (int64_t i = 0; i < n; i++)
+        frags[i] = CFrag{in_sqo[i], in_eqo[i], in_sro[i]};
+    std::vector<uint8_t> used((size_t)n, 0);
+    std::vector<uint8_t> coverage((size_t)query_len, 0);
+    int64_t n_clumps = 0, n_out = 0;
+
+    // Scratch for the chain DP over a region's unused nodes.
+    std::vector<int64_t> ids, nsqo, neqo, ndiag, nlen, nsc, nprev, nplen,
+        npsqo;
+
+    auto emit_clump = [&](const std::vector<CFrag>& v,
+                          int64_t matched) -> bool {
+        if (n_clumps + 1 >= cap_clumps ||
+            n_out + (int64_t)v.size() > cap_frags)
+            return false;
+        clump_offs[n_clumps] = n_out;
+        clump_matched[n_clumps] = matched;
+        for (const CFrag& f : v) {
+            out_sqo[n_out] = f.sqo;
+            out_eqo[n_out] = f.eqo;
+            out_sro[n_out] = f.sro;
+            n_out++;
+        }
+        n_clumps++;
+        clump_offs[n_clumps] = n_out;
+        return true;
+    };
+
+    int64_t next_frag = 0;
+    while (next_frag < n) {
+        int64_t start = next_frag;
+        // findAlignableFragsForw (QueryMatch.c:146-158).
+        int64_t end = start;
+        int64_t cur_diag = f_diag(frags[start]);
+        for (int64_t i = start; i < n; i++) {
+            int64_t d = f_diag(frags[i]);
+            if (adiff(cur_diag, d) > max_gap) { end = i - 1; break; }
+            cur_diag = d;
+            end = i;
+        }
+        int64_t num = 1 + end - start;
+        if (num == 1) {
+            CFrag& f = frags[start];
+            if (f_len(f) >= min_match) {
+                std::vector<CFrag> one{f};
+                if (!emit_clump(one, f_len(f))) return -1;
+            }
+        } else {
+            // processFragmentRangeUsingGraph (GraphPath.cpp:272-292).
+            std::fill(coverage.begin(), coverage.end(), 0);
+            for (;;) {
+                ids.clear();
+                for (int64_t i = start; i <= end; i++)
+                    if (!used[i]) ids.push_back(i);
+                if (ids.empty()) break;
+                // Sort ascending (SQO, diag) (GraphPath.cpp:148-159).
+                std::stable_sort(ids.begin(), ids.end(),
+                                 [&](int64_t a, int64_t b) {
+                    if (frags[a].sqo != frags[b].sqo)
+                        return frags[a].sqo < frags[b].sqo;
+                    return f_diag(frags[a]) < f_diag(frags[b]);
+                });
+                int64_t m = (int64_t)ids.size();
+                nsqo.resize(m); neqo.resize(m); ndiag.resize(m);
+                nlen.resize(m); nsc.resize(m); nprev.resize(m);
+                nplen.resize(m); npsqo.resize(m);
+                for (int64_t k = 0; k < m; k++) {
+                    const CFrag& f = frags[ids[k]];
+                    nsqo[k] = f.sqo; neqo[k] = f.eqo;
+                    ndiag[k] = f_diag(f); nlen[k] = f_len(f);
+                }
+                int64_t best = yt_chain_dp(
+                    m, nsqo.data(), neqo.data(), ndiag.data(), nlen.data(),
+                    max_gap, max_desert, m_score, go_cost, ge_cost,
+                    nsc.data(), nprev.data(), nplen.data(), npsqo.data());
+                if (best < 0) break;
+                // processBestFragmentPath (GraphPath.cpp:134-146):
+                // prepend-insert with overlap chopping
+                // (insertFragment, AlignHelpers.c:60-90).
+                std::vector<CFrag> clump;
+                int64_t matched = 0;
+                for (int64_t k = best; k >= 0; k = nprev[k]) {
+                    CFrag& f1 = frags[ids[k]];   // shared-array entry
+                    if (!clump.empty()) {
+                        CFrag& f2 = clump.front();
+                        int64_t mo = cover(f1.eqo, f2.sqo);
+                        int64_t mo2 = cover(f_ero(f1), f2.sro);
+                        if (mo2 > mo) mo = mo2;
+                        if (mo > 0) {
+                            int64_t l1 = f_len(f1), l2 = f_len(f2);
+                            bool chop1 = l1 != l2 ? l1 < l2
+                                                  : clump.size() == 1;
+                            if (chop1) {
+                                f1.eqo -= mo;       // subBack: persists
+                            } else {
+                                f2.sqo += mo;       // subFront on the copy
+                                f2.sro = (f2.sro + mo) & 0xFFFFFFFFll;
+                            }
+                        }
+                    }
+                    matched += f_len(f1);
+                    clump.insert(clump.begin(), f1);   // copy, prepended
+                    if (nprev[k] < 0) break;
+                }
+                if (matched < min_match) break;   // clump reset: region done
+                clean_up_clump(clump, word_len, max_gap, band_width);
+                // setCoverage + eliminateFragments (QueryMatch.c:161-215).
+                int64_t c_sqo = clump.front().sqo;
+                int64_t c_len = clump.back().eqo - c_sqo + 1;
+                for (int64_t p = c_sqo; p < c_sqo + c_len && p < query_len;
+                     p++)
+                    coverage[p] = 1;
+                int64_t ml = min_non_overlap - 1;
+                for (int64_t i = start; i <= end; i++) {
+                    if (used[i]) continue;
+                    const CFrag& f = frags[i];
+                    bool keep = false;
+                    if (f.eqo - f.sqo >= ml) {
+                        bool any = false;
+                        for (int64_t p = f.sqo; p <= f.sqo + ml; p++)
+                            if (coverage[p]) { any = true; break; }
+                        if (!any) keep = true;
+                        if (!keep) {
+                            any = false;
+                            for (int64_t p = f.eqo - ml; p <= f.eqo; p++)
+                                if (coverage[p]) { any = true; break; }
+                            if (!any) keep = true;
+                        }
+                    }
+                    if (!keep) used[i] = 1;
+                }
+                if (!emit_clump(clump, matched)) return -1;
+            }
+        }
+        next_frag = end + 1;
+    }
+    return n_clumps;
 }
 
 // Batched run-length backtrack decodes (SW.cpp:1137-1195).  One call
