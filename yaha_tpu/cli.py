@@ -393,27 +393,34 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
     try:
         if start_read == 0:
             emit_q.put((sam.file_header(aa, genome), None))
-        # With a worker pool, dispatch num_threads x batch_size reads per
-        # round (one batch_size slice per worker) so per-task IPC overhead
-        # amortizes over a full batch; the resume cursor advances by the
-        # round size, still on fully-emitted boundaries.
-        step = batch_size * (aa.num_threads if pool is not None else 1)
-        for lo in range(start_read, len(records), step):
-            batch = records[lo:lo + step]
-            with timers.stage("align batch"):
-                if pool is not None:
-                    per = batch_size
-                    chunks = [batch[k:k + per]
-                              for k in range(0, len(batch), per)]
-                    outs = []
-                    for chunk_out in pool.map(_worker_align, chunks):
-                        outs.extend(chunk_out)
-                else:
+        if pool is not None:
+            # Streaming dispatch: every batch_size slice is submitted up
+            # front; results are consumed strictly in submission order, so
+            # output ordering and cursor semantics match the sequential
+            # path while workers run continuously with no round barriers
+            # (the reference's locked-input work-stealing loop,
+            # Query.c:457-466, reconstructed with ordered output).
+            futures = []
+            for lo in range(start_read, len(records), batch_size):
+                futures.append((lo + len(records[lo:lo + batch_size]),
+                                pool.submit(_worker_align,
+                                            records[lo:lo + batch_size])))
+            for n_done, fut in futures:
+                with timers.stage("align batch"):
+                    outs = fut.result()
+                if emit_err:
+                    raise emit_err[0]
+                n = n_done
+                emit_q.put(("".join(outs), n))
+        else:
+            for lo in range(start_read, len(records), batch_size):
+                batch = records[lo:lo + batch_size]
+                with timers.stage("align batch"):
                     outs = aligner.align_batch(batch)
-            if emit_err:
-                raise emit_err[0]
-            n = lo + len(batch)
-            emit_q.put(("".join(outs), n))
+                if emit_err:
+                    raise emit_err[0]
+                n = lo + len(batch)
+                emit_q.put(("".join(outs), n))
         emit_q.put(None)
         writer.join()
         if emit_err:

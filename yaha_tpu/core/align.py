@@ -19,14 +19,26 @@ def extend_forward_perfect(frag, genome_codes, q_codes, length) -> int:
     """extendFragmentForwardToStopPerfectly (AlignExtFrag.cpp:30-38).
 
     Slice-compare formulation of the reference's per-base loop: count is
-    the first mismatch position (or `length` on a full match)."""
+    the first mismatch position (or `length` on a full match).  Chopped
+    fragments can carry degenerate offsets (insertFragment can push EQO
+    below -1, AlignHelpers.c:60-90) where the reference walks out of its
+    buffer until the first mismatch; the scalar fallback reproduces the
+    prior element-indexing semantics for those rare cases.
+    """
     if length <= 0:
         return 0
     q_off = frag.eqo + 1
     r_off = frag.ero + 1
-    neq = np.flatnonzero(q_codes[q_off:q_off + length] !=
-                         genome_codes[r_off:r_off + length])
-    count = int(neq[0]) if len(neq) else length
+    if (q_off < 0 or q_off + length > len(q_codes) or
+            r_off + length > len(genome_codes)):
+        count = 0
+        while (count < length and
+               q_codes[q_off + count] == genome_codes[r_off + count]):
+            count += 1
+    else:
+        neq = np.flatnonzero(q_codes[q_off:q_off + length] !=
+                             genome_codes[r_off:r_off + length])
+        count = int(neq[0]) if len(neq) else length
     if count > 0:
         frag.add_back(count)
     return count
@@ -38,10 +50,17 @@ def extend_backward_perfect(frag, genome_codes, q_codes, length) -> int:
         return 0
     q_off = frag.sqo - 1
     r_off = frag.sro - 1
-    neq = np.flatnonzero(
-        q_codes[q_off - length + 1:q_off + 1][::-1] !=
-        genome_codes[r_off - length + 1:r_off + 1][::-1])
-    count = int(neq[0]) if len(neq) else length
+    if q_off - length + 1 < 0 or r_off - length + 1 < 0 or \
+            q_off >= len(q_codes) or r_off >= len(genome_codes):
+        count = 0
+        while (count < length and
+               q_codes[q_off - count] == genome_codes[r_off - count]):
+            count += 1
+    else:
+        neq = np.flatnonzero(
+            q_codes[q_off - length + 1:q_off + 1][::-1] !=
+            genome_codes[r_off - length + 1:r_off + 1][::-1])
+        count = int(neq[0]) if len(neq) else length
     if count > 0:
         frag.add_front(count)
     return count
