@@ -30,7 +30,7 @@ def scan_positions(codes: np.ndarray, start: int, length: int,
     """
     ending = start + length - word_len
     if ending < start:
-        return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.uint32)
     n = len(codes)
     # Bad (non-ACGT) code positions at-or-after start.
     bad = np.flatnonzero(codes[start:] > 3) + start
@@ -46,7 +46,9 @@ def scan_positions(codes: np.ndarray, start: int, length: int,
         last_good_start = min(ending, p_bad - word_len)
         if last_good_start >= base:
             count = (last_good_start - base) // skip_dist + 1
-            positions.append(base + skip_dist * np.arange(count, dtype=np.int64))
+            positions.append((base + skip_dist *
+                              np.arange(count, dtype=np.int64))
+                             .astype(np.uint32))
             next_window = base + count * skip_dist
         else:
             next_window = base
@@ -61,7 +63,7 @@ def scan_positions(codes: np.ndarray, start: int, length: int,
         if cur >= n:
             break
     if not positions:
-        return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.uint32)
     return np.concatenate(positions)
 
 
@@ -70,17 +72,28 @@ def genome_scan_positions(genome: Genome, word_len: int,
     parts = [scan_positions(genome.codes, int(s), int(l), word_len, skip_dist)
              for s, l in zip(genome.starting_offsets, genome.lengths)]
     return (np.concatenate(parts) if parts
-            else np.empty(0, dtype=np.int64))
+            else np.empty(0, dtype=np.uint32))
 
 
 def hash_windows(codes: np.ndarray, positions: np.ndarray,
                  word_len: int) -> np.ndarray:
-    """2-bit hash per window: codes packed MSB-first (Index.c:32-43)."""
-    h = np.zeros(len(positions), dtype=np.int64)
-    c = codes.astype(np.int64)
+    """2-bit hash per window: codes packed MSB-first (Index.c:32-43).
+
+    Computed as a sliding-window rolling hash over the contiguous span
+    covering `positions` (shifted-slice ORs are sequential-bandwidth ops;
+    per-position gathers are ~10x slower at genome scale), then gathered
+    at the requested positions.  2*word_len <= 30 bits fits int32.
+    """
+    if len(positions) == 0:
+        return np.empty(0, dtype=np.int64)
+    lo = int(positions[0])
+    hi = int(positions[-1])
+    nwin = hi - lo + 1
+    c = codes[lo:hi + word_len].astype(np.int32)
+    h = np.zeros(nwin, dtype=np.int32)
     for i in range(word_len):
-        h = (h << 2) | c[positions + i]
-    return h
+        h = (h << 2) | c[i:i + nwin]
+    return h[positions - lo]   # int32: 2*word_len <= 30 bits
 
 
 def build_index(genome: Genome, word_len: int, skip_dist: int,
@@ -98,15 +111,16 @@ def build_index(genome: Genome, word_len: int, skip_dist: int,
     positions = genome_scan_positions(genome, word_len, skip_dist)
     n = len(positions)
 
-    counts = np.zeros(ht_size, dtype=np.int64)
+    counts = np.zeros(ht_size, dtype=np.uint32)
     for lo in range(0, n, chunk):
         h = hash_windows(genome.codes, positions[lo:lo + chunk], word_len)
-        counts += np.bincount(h, minlength=ht_size)
+        np.add(counts, np.bincount(h, minlength=ht_size), out=counts,
+               casting="unsafe")
 
     so = np.zeros(ht_size + 1, dtype=np.int64)
     np.cumsum(counts, out=so[1:])
     roa = np.empty(int(so[-1]), dtype=np.uint32)
-    seen = np.zeros(ht_size, dtype=np.int64)
+    seen = np.zeros(ht_size, dtype=np.uint32)
     for lo in range(0, n, chunk):
         pos_c = positions[lo:lo + chunk]
         h = hash_windows(genome.codes, pos_c, word_len)
@@ -122,7 +136,8 @@ def build_index(genome: Genome, word_len: int, skip_dist: int,
             run_starts, np.diff(np.concatenate([run_starts,
                                                 [len(h_sorted)]])))
         roa[so[h_sorted] + seen[h_sorted] + rank] = pos_c[order]
-        seen += np.bincount(h_sorted, minlength=ht_size)
+        np.add(seen, np.bincount(h_sorted, minlength=ht_size), out=seen,
+               casting="unsafe")
     counts = np.diff(so)
 
     # Third pass: random down-sampling of k-mers over maxHits
