@@ -391,6 +391,42 @@ def process_fragment_range(aa, qs, frags, used, start, end) -> None:
         qs.add_clump(clump)
 
 
+def _materialize_clumps(qs, offs, o_sqo, o_eqo, o_sro, matched) -> None:
+    """Build Clump/SFragment objects from native clump SoA output, in
+    emission order (each prepends via addClump, QueryState.c:156-161)."""
+    for k in range(len(offs) - 1):
+        clump = Clump()
+        for i in range(offs[k], offs[k + 1]):
+            sf = SFragment(Fragment(
+                sqo=int(o_sqo[i]), eqo=int(o_eqo[i]), sro=int(o_sro[i]),
+                ref_len=int(o_eqo[i] - o_sqo[i] + 1)))
+            clump.sfrags.append(sf)
+        clump.matched_bases = int(matched[k])
+        qs.add_clump(clump)
+
+
+def process_strand(aa, qs, index, codes) -> int:
+    """One strand of processQueries (Query.c:361-412 + QueryMatch.c):
+    seed scan -> fragments -> clumps.  Returns the seed-hit total (the
+    seedMatches stat).  Uses the fused native front end when available."""
+    host = _native_chain()
+    if host is not None:
+        res = host.seed_to_clumps(codes, index, aa)
+        if res is not None:
+            offs, o_sqo, o_eqo, o_sro, matched, total = res
+            _materialize_clumps(qs, offs, o_sqo, o_eqo, o_sro, matched)
+            return total
+    from .frags import seed_hits, find_fragments
+    offsets, so_offs, counts = seed_hits(codes, index, aa.max_hits)
+    total = int(counts.sum())
+    if total == 0:
+        return 0
+    frags = find_fragments(offsets, so_offs, counts, index.roa,
+                           index.word_len)
+    process_fragments_gapped(aa, qs, frags)
+    return total
+
+
 def process_fragments_gapped(aa, qs, frags) -> None:
     """processFragmentsGapped (QueryMatch.c:224-303): split into reference
     regions by diagonal proximity, then chain each region."""
@@ -406,17 +442,7 @@ def process_fragments_gapped(aa, qs, frags) -> None:
             np.array([f.sro for f in frags], np.int64),
             qs.query_len, aa)
         if res is not None:
-            offs, o_sqo, o_eqo, o_sro, matched = res
-            for k in range(len(offs) - 1):
-                clump = Clump()
-                for i in range(offs[k], offs[k + 1]):
-                    sf = SFragment(Fragment(
-                        sqo=int(o_sqo[i]), eqo=int(o_eqo[i]),
-                        sro=int(o_sro[i]),
-                        ref_len=int(o_eqo[i] - o_sqo[i] + 1)))
-                    clump.sfrags.append(sf)
-                clump.matched_bases = int(matched[k])
-                qs.add_clump(clump)
+            _materialize_clumps(qs, *res)
             return
     used = [False] * frag_count
     next_frag = 0

@@ -13,7 +13,7 @@ import numpy as np
 from ..utils.rng import RandState, query_seed_state
 from ..io import sam
 from .align import align_clump, score_clump
-from .chain import process_fragments_gapped
+from .chain import process_strand
 from .frags import seed_hits, find_fragments
 from .oqc import post_filter_by_similarity, post_filter_remove_dups
 
@@ -81,13 +81,7 @@ def align_query(qs: QueryState, rec, stats=None) -> str:
     for rev in (False, True):
         qs.reversed = rev
         codes = qs.reverse_codes if rev else qs.forward_codes
-        offsets, so_offs, counts = seed_hits(codes, index, aa.max_hits)
-        if counts.sum() == 0:
-            continue
-        seed_matches += int(counts.sum())
-        frags = find_fragments(offsets, so_offs, counts, index.roa,
-                               index.word_len)
-        process_fragments_gapped(aa, qs, frags)
+        seed_matches += process_strand(aa, qs, index, codes)
 
     # postProcessClumps (QueryMatch.c:306-331).
     clumps = qs.clumps

@@ -26,7 +26,7 @@ from ..core.align import (extend_backward_perfect, extend_forward_perfect,
 from ..core.clumps import SFragment
 from ..core.editops import EditOpList, MATCH, REPLACE, INSERT, DELETE
 from ..core.frags import calc_gap_cost, calc_query_gap, calc_ref_gap
-from ..core.chain import process_fragments_gapped
+from ..core.chain import process_strand
 from ..core.frags import seed_hits, find_fragments
 from ..core.oqc import post_filter_by_similarity, post_filter_remove_dups
 from ..core.pipeline import QueryState
@@ -352,13 +352,7 @@ class BatchAligner:
             for rev in (False, True):
                 qs.reversed = rev
                 codes = qs.reverse_codes if rev else qs.forward_codes
-                offsets, so_offs, counts = seed_hits(codes, self.index,
-                                                     aa.max_hits)
-                if counts.sum() == 0:
-                    continue
-                frags = find_fragments(offsets, so_offs, counts,
-                                       self.index.roa, self.index.word_len)
-                process_fragments_gapped(aa, qs, frags)
+                process_strand(aa, qs, self.index, codes)
             states.append(qs)
 
         # Phase A across the whole batch.

@@ -371,3 +371,60 @@ def frags_to_clumps(sqo, eqo, sro, query_len, aa):
     if nc < 0:
         return None
     return clump_offs[:nc + 1], out_sqo, out_eqo, out_sro, matched
+
+
+def seed_to_clumps(codes, index, aa, *, cap_frags=65536, cap_clumps=8192):
+    """Fused seed->fragments->clumps for one strand (yt_seed_to_clumps).
+
+    Returns (clump_offs, out_sqo, out_eqo, out_sro, matched, total_hits)
+    or None when the native lib is unavailable or capacity is exceeded
+    (caller falls back to the Python stage pipeline).
+    """
+    lib = _load()
+    import ctypes as ct
+    if not hasattr(lib, "_s2c_sig"):
+        lib.yt_seed_to_clumps.argtypes = [
+            ct.POINTER(ct.c_uint8), ct.c_int64, ct.c_int64,
+            ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_uint32), ct.c_int64,
+            ct.c_int64,
+            ct.c_int64, ct.c_int64, ct.c_int64, ct.c_int64, ct.c_int64,
+            ct.c_int64, ct.c_int64, ct.c_int64,
+            ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64), ct.c_int64, ct.c_int64,
+            ct.POINTER(ct.c_int64)]
+        lib.yt_seed_to_clumps.restype = ct.c_int64
+        lib._s2c_sig = True
+    codes = np.ascontiguousarray(codes, np.uint8)
+    so = index.starting_offs
+    roa = index.roa
+    if so.dtype != np.uint32:
+        so = np.ascontiguousarray(so, np.uint32)
+        index.starting_offs = so
+    if roa.dtype != np.uint32:
+        roa = np.ascontiguousarray(roa, np.uint32)
+        index.roa = roa
+    out_sqo = np.empty(cap_frags, np.int64)
+    out_eqo = np.empty(cap_frags, np.int64)
+    out_sro = np.empty(cap_frags, np.int64)
+    clump_offs = np.empty(cap_clumps + 1, np.int64)
+    matched = np.empty(cap_clumps, np.int64)
+    total = ct.c_int64(0)
+
+    def p64(a):
+        return a.ctypes.data_as(ct.POINTER(ct.c_int64))
+
+    nc = lib.yt_seed_to_clumps(
+        codes.ctypes.data_as(ct.POINTER(ct.c_uint8)), len(codes),
+        index.word_len,
+        so.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        roa.ctypes.data_as(ct.POINTER(ct.c_uint32)), len(roa),
+        aa.max_hits,
+        aa.max_gap, aa.max_desert, aa.min_match, aa.min_non_overlap,
+        aa.m_score, aa.go_cost, aa.ge_cost, aa.band_width,
+        p64(out_sqo), p64(out_eqo), p64(out_sro), p64(clump_offs),
+        p64(matched), cap_frags, cap_clumps, ct.byref(total))
+    if nc < 0:
+        return None
+    return (clump_offs[:nc + 1], out_sqo, out_eqo, out_sro, matched,
+            int(total.value))

@@ -663,6 +663,99 @@ int64_t yt_frags_to_clumps(
     return n_clumps;
 }
 
+// Fused per-strand front end: seed scan (Query.c:361-412) -> hit
+// expansion with the heap pre-seeding phantom quirk (QueryMatch.c:57-69)
+// -> (diag,QO) sort on the packed heap key (QueryHeap.inl encodeHeapItem)
+// -> fragment coalescing (QueryMatch.c:99-115) -> the fragment->clump
+// stage above.  One call replaces the per-read numpy pipeline, whose
+// per-op overhead dominates at short read lengths.
+int64_t yt_seed_to_clumps(
+        const uint8_t* codes, int64_t q_len, int64_t word_len,
+        const uint32_t* so, const uint32_t* roa, int64_t roa_len,
+        int64_t max_hits,
+        int64_t max_gap, int64_t max_desert, int64_t min_match,
+        int64_t min_non_overlap, int64_t m_score, int64_t go_cost,
+        int64_t ge_cost, int64_t band_width,
+        int64_t* out_sqo, int64_t* out_eqo, int64_t* out_sro,
+        int64_t* clump_offs, int64_t* clump_matched,
+        int64_t cap_frags, int64_t cap_clumps,
+        int64_t* total_hits_out) {
+    const int64_t M32 = 0xFFFFFFFFll;
+    int64_t n_win = q_len - word_len + 1;
+    *total_hits_out = 0;
+    if (n_win <= 0) {
+        clump_offs[0] = 0;
+        return 0;
+    }
+    // Rolling hash with bad-window skip.
+    const int64_t mask = (1ll << (2 * word_len)) - 1;
+    std::vector<uint64_t> keys;   // diag<<32 | qo
+    int64_t h = 0;
+    int64_t good = 0;             // clean codes accumulated
+    int64_t total_hits = 0;
+    for (int64_t p = 0; p < q_len; p++) {
+        uint8_t c = codes[p];
+        if (c > 3) { good = 0; h = 0; continue; }
+        h = ((h << 2) | c) & mask;
+        if (++good < word_len) continue;
+        int64_t qo = p - word_len + 1;
+        int64_t cnt = (int64_t)so[h + 1] - (int64_t)so[h];
+        if (cnt <= 0 || cnt > max_hits) continue;
+        total_hits += cnt;
+        int64_t off = so[h];
+        bool any_ok = false;
+        for (int64_t j = off; j < off + cnt; j++) {
+            int64_t ro = roa[j];
+            if (ro >= qo) any_ok = true;
+            uint64_t diag = (uint64_t)((ro - qo) & M32);
+            keys.push_back((diag << 32) | (uint64_t)qo);
+        }
+        if (!any_ok) {
+            // All-wrapped run: the reference heap pre-seed reads past the
+            // run into the next k-mer's ROA until one entry >= qo.
+            for (int64_t j = off + cnt; j < roa_len; j++) {
+                int64_t ro = roa[j];
+                uint64_t diag = (uint64_t)((ro - qo) & M32);
+                keys.push_back((diag << 32) | (uint64_t)qo);
+                if (ro >= qo) break;
+            }
+        }
+    }
+    *total_hits_out = total_hits;
+    if (keys.empty()) {
+        clump_offs[0] = 0;
+        return 0;
+    }
+    std::sort(keys.begin(), keys.end());
+    // Coalesce into maximal exact-match fragments.
+    std::vector<int64_t> fsqo, feqo, fsro;
+    int64_t run_diag = (int64_t)(keys[0] >> 32);
+    int64_t run_sqo = (int64_t)(keys[0] & 0xFFFFFFFFull);
+    int64_t run_eqo = run_sqo;
+    for (size_t t = 1; t < keys.size(); t++) {
+        int64_t d = (int64_t)(keys[t] >> 32);
+        int64_t q = (int64_t)(keys[t] & 0xFFFFFFFFull);
+        if (d != run_diag || q - run_eqo > word_len) {
+            fsqo.push_back(run_sqo);
+            feqo.push_back(run_eqo + word_len - 1);
+            fsro.push_back((run_diag + run_sqo) & M32);
+            run_diag = d;
+            run_sqo = q;
+        }
+        run_eqo = q;
+    }
+    fsqo.push_back(run_sqo);
+    feqo.push_back(run_eqo + word_len - 1);
+    fsro.push_back((run_diag + run_sqo) & M32);
+
+    return yt_frags_to_clumps(
+        fsqo.data(), feqo.data(), fsro.data(), (int64_t)fsqo.size(), q_len,
+        max_gap, max_desert, min_match, min_non_overlap, m_score, go_cost,
+        ge_cost, band_width, word_len,
+        out_sqo, out_eqo, out_sro, clump_offs, clump_matched,
+        cap_frags, cap_clumps);
+}
+
 // Batched run-length backtrack decodes (SW.cpp:1137-1195).  One call
 // decodes every problem of a phase; per-problem runs land in flat
 // (ops, lens) arrays with prefix offsets.  Python slices per problem.
