@@ -25,7 +25,8 @@ from ..core.align import (extend_backward_perfect, extend_forward_perfect,
                           collapse_sfragments, score_clump)
 from ..core.clumps import SFragment
 from ..core.editops import EditOpList, MATCH, REPLACE, INSERT, DELETE
-from ..core.frags import calc_gap_cost, calc_query_gap, calc_ref_gap
+from ..core.frags import (Fragment, calc_gap_cost, calc_query_gap,
+                          calc_ref_gap)
 from ..core.chain import process_strand
 from ..core.frags import seed_hits, find_fragments
 from ..core.oqc import post_filter_by_similarity, post_filter_remove_dups
@@ -137,6 +138,49 @@ class BatchAligner:
                     q_gap, r_gap, lbw, rbw))
             sfrags.insert(i + 1, new_sf)
             i += 1
+
+    def _collect_gap_problems_native(self, qs, problems) -> bool:
+        """yt_collect_gaps for all clumps of one read; False -> caller
+        falls back to the per-clump Python stage (degenerate chop offsets
+        where the reference walks out of its buffers, or no native lib)."""
+        from ..native import host
+        if not qs.clumps or not host.available():
+            return not qs.clumps
+        res = host.collect_gaps(qs.clumps, qs, self.aa)
+        if res is None:
+            return False
+        offs, sqo, eqo, sro, rlen, kind, score, oplen, a0, a1 = res
+        genome = qs.genome_codes
+        for k, clump in enumerate(qs.clumps):
+            q_codes = qs.clump_query_codes(clump)
+            new_sfrags = []
+            for i in range(offs[k], offs[k + 1]):
+                sf = SFragment(Fragment(
+                    sqo=int(sqo[i]), eqo=int(eqo[i]), sro=int(sro[i]),
+                    ref_len=int(rlen[i])))
+                sf.score = int(score[i])
+                kd = int(kind[i])
+                if kd == 0:
+                    sf.eol.items = [[MATCH, int(oplen[i])]]
+                elif kd == 1:
+                    sf.eol.items = [[DELETE, int(oplen[i])]]
+                elif kd == 2:
+                    sf.eol.items = [[INSERT, int(oplen[i])]]
+                elif kd == 3:
+                    sf.eol.items = [[REPLACE, 1]]
+                else:
+                    q_gap = int(eqo[i] - sqo[i] + 1)
+                    r_gap = int(rlen[i])
+                    problems.append(_GapProblem(
+                        sf,
+                        np.asarray(q_codes[sf.frag.sqo:
+                                           sf.frag.sqo + q_gap]),
+                        np.asarray(genome[sf.frag.sro:
+                                          sf.frag.sro + r_gap]),
+                        q_gap, r_gap, int(a0[i]), int(a1[i])))
+                new_sfrags.append(sf)
+            clump.sfrags = new_sfrags
+        return True
 
     def _run_gap_problems(self, problems):
         if not problems:
@@ -358,8 +402,9 @@ class BatchAligner:
         # Phase A across the whole batch.
         gap_problems = []
         for qs in states:
-            for clump in qs.clumps:
-                self._collect_gap_problems(clump, qs, gap_problems)
+            if not self._collect_gap_problems_native(qs, gap_problems):
+                for clump in qs.clumps:
+                    self._collect_gap_problems(clump, qs, gap_problems)
         self._run_gap_problems(gap_problems)
 
         # Collapse + phase B.

@@ -428,3 +428,66 @@ def seed_to_clumps(codes, index, aa, *, cap_frags=65536, cap_clumps=8192):
         return None
     return (clump_offs[:nc + 1], out_sqo, out_eqo, out_sro, matched,
             int(total.value))
+
+
+def collect_gaps(clumps, qs, aa):
+    """Native gap-collection (yt_collect_gaps) for one read's clumps.
+
+    Returns (offs, sqo, eqo, sro, rlen, kind, score, oplen, aux0, aux1)
+    or None when unavailable / degenerate offsets (caller falls back).
+    """
+    lib = _load()
+    import ctypes as ct
+    if not hasattr(lib, "_cg_sig"):
+        lib.yt_collect_gaps.argtypes = [
+            ct.POINTER(ct.c_int64), ct.c_int64,
+            ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_uint8), ct.c_int64,
+            ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_uint8), ct.c_int64,
+            ct.POINTER(ct.c_uint8),
+            ct.c_int64, ct.c_int64, ct.c_int64, ct.c_int64, ct.c_int64] + \
+            [ct.POINTER(ct.c_int64)] * 10 + [ct.c_int64]
+        lib.yt_collect_gaps.restype = ct.c_int64
+        lib._cg_sig = True
+    n_clumps = len(clumps)
+    cl_offs = np.zeros(n_clumps + 1, np.int64)
+    total = 0
+    for k, c in enumerate(clumps):
+        total += len(c.sfrags)
+        cl_offs[k + 1] = total
+    f_sqo = np.empty(total, np.int64)
+    f_eqo = np.empty(total, np.int64)
+    f_sro = np.empty(total, np.int64)
+    cl_rev = np.empty(n_clumps, np.uint8)
+    i = 0
+    for k, c in enumerate(clumps):
+        cl_rev[k] = 1 if c.reversed else 0
+        for sf in c.sfrags:
+            f_sqo[i] = sf.frag.sqo
+            f_eqo[i] = sf.frag.eqo
+            f_sro[i] = sf.frag.sro
+            i += 1
+    cap = 2 * total + 2 * n_clumps + 8
+    outs = [np.empty(n_clumps + 1, np.int64)] + \
+        [np.empty(cap, np.int64) for _ in range(9)]
+    genome = qs.genome_codes
+    fwd = np.ascontiguousarray(qs.forward_codes, np.uint8)
+    rev = np.ascontiguousarray(qs.reverse_codes, np.uint8)
+
+    def p(a):
+        return a.ctypes.data_as(ct.POINTER(ct.c_int64))
+
+    def p8(a):
+        return a.ctypes.data_as(ct.POINTER(ct.c_uint8))
+
+    rc = lib.yt_collect_gaps(
+        p(cl_offs), n_clumps, p(f_sqo), p(f_eqo), p(f_sro),
+        p8(genome), len(genome), p8(fwd), p8(rev), qs.query_len,
+        p8(cl_rev),
+        aa.m_score, aa.go_cost, aa.ge_cost, aa.r_cost, aa.band_width,
+        p(outs[0]), p(outs[1]), p(outs[2]), p(outs[3]), p(outs[4]),
+        p(outs[5]), p(outs[6]), p(outs[7]), p(outs[8]), p(outs[9]), cap)
+    if rc < 0:
+        return None
+    return outs

@@ -756,6 +756,145 @@ int64_t yt_seed_to_clumps(
         cap_frags, cap_clumps);
 }
 
+// Gap-collection stage for all clumps of one read
+// (alignClump's pre-DP stages, AlignHelpers.c:205-262 /
+// AlignExtFrag.cpp:30-48,164-234): neighbor perfect extensions (mutating
+// the clump's fragment coords), per-fragment Match run init, then the
+// gap cascade interleaving new gap sub-fragments (pure D / pure I / 1,1
+// mismatch / DP problem with banded-vs-full band selection).
+//
+// Degenerate chop offsets (EQO < -1 etc.) bail with -2: the caller's
+// Python path reproduces the reference's out-of-buffer walk semantics.
+//
+// Output sfrag records, flattened with per-clump offsets:
+//   kind 0 = match fragment        (eol [M qlen],  score m*qlen)
+//   kind 1 = gap delete            (eol [D oplen], score gap cost)
+//   kind 2 = gap insert            (eol [I oplen], score gap cost)
+//   kind 3 = gap 1,1 replace       (eol [R 1],     score -rc)
+//   kind 4 = gap DP problem        (aux0/aux1 = leftBW/rightBW)
+int64_t yt_collect_gaps(
+        const int64_t* cl_offs, int64_t n_clumps,
+        int64_t* f_sqo, int64_t* f_eqo, int64_t* f_sro,
+        const uint8_t* genome, int64_t genome_len,
+        const uint8_t* fwd, const uint8_t* rev, int64_t q_len,
+        const uint8_t* cl_rev,
+        int64_t m_score, int64_t go_cost, int64_t ge_cost, int64_t r_cost,
+        int64_t band_width,
+        int64_t* o_offs, int64_t* o_sqo, int64_t* o_eqo, int64_t* o_sro,
+        int64_t* o_rlen, int64_t* o_kind, int64_t* o_score,
+        int64_t* o_oplen, int64_t* o_aux0, int64_t* o_aux1,
+        int64_t cap_out) {
+    const int64_t M32 = 0xFFFFFFFFll;
+    int64_t n_out = 0;
+    for (int64_t k = 0; k < n_clumps; k++) {
+        o_offs[k] = n_out;
+        const uint8_t* q = cl_rev[k] ? rev : fwd;
+        int64_t lo = cl_offs[k], hi = cl_offs[k + 1];
+        // Neighbor perfect extensions (AlignHelpers.c:213-222).
+        for (int64_t i = lo; i + 1 < hi; i++) {
+            int64_t qg = cgap(f_eqo[i], f_sqo[i + 1]);
+            int64_t re1 = (f_sro[i] + (f_eqo[i] - f_sqo[i])) & M32;
+            int64_t rg = cgap(re1, f_sro[i + 1]);
+            int64_t gap = qg < rg ? qg : rg;
+            // extendFragmentBackwardToStopPerfectly on frag i+1.
+            if (gap > 0) {
+                int64_t q_off = f_sqo[i + 1] - 1;
+                int64_t r_off = f_sro[i + 1] - 1;
+                if (q_off - gap + 1 < 0 || r_off - gap + 1 < 0 ||
+                    q_off >= q_len || r_off >= genome_len)
+                    return -2;
+                int64_t c = 0;
+                while (c < gap && q[q_off - c] == genome[r_off - c]) c++;
+                if (c > 0) {
+                    f_sqo[i + 1] -= c;
+                    f_sro[i + 1] = (f_sro[i + 1] - c) & M32;
+                    gap -= c;
+                }
+            }
+            // extendFragmentForwardToStopPerfectly on frag i.
+            if (gap > 0) {
+                int64_t q_off = f_eqo[i] + 1;
+                int64_t r_off = ((f_sro[i] + (f_eqo[i] - f_sqo[i])) & M32)
+                                + 1;
+                if (q_off < 0 || q_off + gap > q_len ||
+                    r_off + gap > genome_len || r_off < 0)
+                    return -2;
+                int64_t c = 0;
+                while (c < gap && q[q_off + c] == genome[r_off + c]) c++;
+                if (c > 0) f_eqo[i] += c;
+            }
+        }
+        // Match-run init + gap cascade (AlignHelpers.c:224-262).
+        for (int64_t i = lo; i < hi; i++) {
+            if (n_out + 2 > cap_out) return -1;
+            int64_t flen = f_eqo[i] - f_sqo[i] + 1;
+            o_sqo[n_out] = f_sqo[i];
+            o_eqo[n_out] = f_eqo[i];
+            o_sro[n_out] = f_sro[i];
+            o_rlen[n_out] = flen;
+            o_kind[n_out] = 0;
+            o_score[n_out] = m_score * flen;
+            o_oplen[n_out] = flen;
+            o_aux0[n_out] = 0;
+            o_aux1[n_out] = 0;
+            n_out++;
+            if (i + 1 >= hi) continue;
+            int64_t ero1 = (f_sro[i] + (f_eqo[i] - f_sqo[i])) & M32;
+            int64_t q_gap = cgap(f_eqo[i], f_sqo[i + 1]);
+            int64_t r_gap = cgap(ero1, f_sro[i + 1]);
+            if (q_gap == 0 && r_gap == 0) continue;
+            int64_t g_sqo = f_eqo[i] + 1;
+            int64_t g_eqo = f_sqo[i + 1] - 1;
+            int64_t g_sro = (ero1 + 1) & M32;
+            int64_t g_rlen = 1 + (f_sro[i + 1] - 1) - g_sro;
+            o_sqo[n_out] = g_sqo;
+            o_eqo[n_out] = g_eqo;
+            o_sro[n_out] = g_sro;
+            o_rlen[n_out] = g_rlen;
+            o_aux0[n_out] = 0;
+            o_aux1[n_out] = 0;
+            if (q_gap == 0) {
+                o_kind[n_out] = 1;
+                o_oplen[n_out] = r_gap;
+                o_score[n_out] = r_gap > 0
+                    ? -(go_cost + r_gap * ge_cost) : 0;
+            } else if (r_gap == 0) {
+                o_kind[n_out] = 2;
+                o_oplen[n_out] = q_gap;
+                o_score[n_out] = q_gap > 0
+                    ? -(go_cost + q_gap * ge_cost) : 0;
+            } else if (r_gap == 1 && q_gap == 1) {
+                o_kind[n_out] = 3;
+                o_oplen[n_out] = 1;
+                o_score[n_out] = -r_cost;
+            } else {
+                int64_t len_diff = q_gap > r_gap ? q_gap - r_gap
+                                                 : r_gap - q_gap;
+                int64_t lbw, rbw;
+                if (len_diff + band_width * 2 + 1 < r_gap) {
+                    if (r_gap > q_gap) {
+                        lbw = band_width;
+                        rbw = band_width + (r_gap - q_gap);
+                    } else {
+                        lbw = band_width + (q_gap - r_gap);
+                        rbw = band_width;
+                    }
+                } else {
+                    lbw = rbw = (q_gap > r_gap ? q_gap : r_gap) + 1;
+                }
+                o_kind[n_out] = 4;
+                o_oplen[n_out] = 0;
+                o_score[n_out] = 0;
+                o_aux0[n_out] = lbw;
+                o_aux1[n_out] = rbw;
+            }
+            n_out++;
+        }
+    }
+    o_offs[n_clumps] = n_out;
+    return n_out;
+}
+
 // Batched run-length backtrack decodes (SW.cpp:1137-1195).  One call
 // decodes every problem of a phase; per-problem runs land in flat
 // (ops, lens) arrays with prefix offsets.  Python slices per problem.
