@@ -427,6 +427,11 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
             raise emit_err[0]
         if aa.verbose:
             timers.print_report()
+            total_s = sum(timers.totals.values())
+            done = n - start_read
+            if total_s > 0 and done > 0:
+                print("Processed %d reads (%.0f reads/s)." %
+                      (done, done / total_s), file=sys.stderr)
     finally:
         if writer.is_alive():
             try:
