@@ -38,7 +38,13 @@ def _parse_float(s, key):
         print("%s is not a valid value for parameter %s." % (s, key),
               file=sys.stderr)
         sys.exit(1)
-    return v
+    # The reference stores minIdentity/FBS_PSLength/FBS_PSScore as
+    # single-precision float (Math.h:292,314-315); comparisons promote
+    # the float32-rounded threshold to double.  0.60 as float32 is
+    # 0.60000002..., so an identity of exactly 660/1100 = 0.6 REJECTS
+    # there but would pass a double 0.6 (fuzz seed 10226).
+    import numpy as np
+    return float(np.float32(v))
 
 
 def main(argv=None):

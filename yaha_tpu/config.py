@@ -34,7 +34,9 @@ class AlignmentArgs:
     max_gap: int = 50
     max_intron: int = DEFAULT
     min_match: int = 25
-    min_identity: float = 0.9
+    # float32-rounded like the reference's `float` fields
+    # (Math.h:292,314-315); see cli._parse_float.
+    min_identity: float = 0.8999999761581421
     band_width: int = 5
     max_desert: int = 50
     min_raw_score: int = DEFAULT
@@ -55,8 +57,8 @@ class AlignmentArgs:
     bp_cost: int = 5
     max_bp_log: int = 5
     fbs: bool = False
-    fbs_ps_length: float = 0.90
-    fbs_ps_score: float = 0.90
+    fbs_ps_length: float = 0.8999999761581421
+    fbs_ps_score: float = 0.8999999761581421
 
     max_query_length: int = 32000
     verbose: bool = False
