@@ -120,7 +120,8 @@ def gen_config(rng):
     if rng.random() < 0.3:
         cfg += ["-MD", str(rng.choice([20, 50, 120]))]
     if rng.random() < 0.3:
-        cfg += ["-P", rng.choice(["0.60", "0.90", "0.95"])]
+        cfg += ["-P", rng.choice(["0.50", "0.60", "0.75",
+                          "0.80", "0.90", "0.95"])]
     if rng.random() < 0.3:
         cfg += ["-X", str(rng.choice([10, 25, 60]))]
     if rng.random() < 0.25:
@@ -137,8 +138,10 @@ def gen_config(rng):
     elif mode < 0.5:
         cfg += ["-FBS", "Y"]
         if rng.random() < 0.5:
-            cfg += ["-PRL", rng.choice(["0.50", "0.90"]),
-                    "-PSS", rng.choice(["0.50", "0.90"])]
+            cfg += ["-PRL", rng.choice(["0.25", "0.50", "0.75",
+                                        "0.90"]),
+                    "-PSS", rng.choice(["0.10", "0.50",
+                                        "0.75", "0.90"])]
     if rng.random() < 0.3:
         cfg += ["-BP", str(rng.randint(1, 12)),
                 "-MGDP", str(rng.randint(1, 9)),
