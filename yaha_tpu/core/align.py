@@ -10,7 +10,7 @@ import numpy as np
 
 from .cints import wrap_u16
 from .clumps import Clump, SFragment
-from .editops import EditOpList, MATCH, REPLACE, INSERT, DELETE
+from .editops import MATCH, REPLACE, INSERT, DELETE
 from .frags import calc_gap_cost, calc_query_gap, calc_ref_gap
 from . import sw
 

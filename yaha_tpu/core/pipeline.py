@@ -14,7 +14,6 @@ from ..utils.rng import RandState, query_seed_state
 from ..io import sam
 from .align import align_clump, score_clump
 from .chain import process_strand
-from .frags import seed_hits, find_fragments
 from .oqc import post_filter_by_similarity, post_filter_remove_dups
 
 

@@ -9,7 +9,7 @@ clump status.
 from __future__ import annotations
 
 from ..utils import codec
-from ..core.editops import (MATCH, REPLACE, INSERT, DELETE, HARD_CLIP,
+from ..core.editops import (MATCH, REPLACE, DELETE, HARD_CLIP,
                             SOFT_CLIP)
 
 BUILD_NUM = 83  # version string parity with the reference build

@@ -28,7 +28,6 @@ from ..core.editops import EditOpList, MATCH, REPLACE, INSERT, DELETE
 from ..core.frags import (Fragment, calc_gap_cost, calc_query_gap,
                           calc_ref_gap)
 from ..core.chain import process_strand
-from ..core.frags import seed_hits, find_fragments
 from ..core.oqc import post_filter_by_similarity, post_filter_remove_dups
 from ..core.pipeline import QueryState
 from ..io import sam

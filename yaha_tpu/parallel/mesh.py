@@ -18,7 +18,6 @@ analog exists or is needed.
 """
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax
