@@ -131,6 +131,11 @@ def load(data: bytes) -> Genome:
                      .decode("latin-1"))
     packed = np.frombuffer(data[base_off:], dtype=np.uint8)
     codes = codec.unpack_nib2(packed)
+    # The reference mmaps the genome file (Query.c:556); reads past EOF
+    # land on the mmap zero page, i.e. code 0 ('T'), for up to a page.
+    # Degenerate chop offsets can walk the perfect extensions exactly to
+    # maxROff (fuzz seed 12247), so reproduce the zero page.
+    codes = np.concatenate([codes, np.zeros(8192, dtype=np.uint8)])
     return Genome(names=names, starting_offsets=starts, lengths=lengths,
                   codes=codes)
 
