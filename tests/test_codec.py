@@ -40,3 +40,17 @@ def test_pack_unpack():
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 16, size=1000, dtype=np.uint8)
     assert np.array_equal(codec.unpack_nib2(codec.pack_nib2(codes)), codes)
+
+
+def test_nib2_load_pads_zero_page():
+    """Reads past maxROff must see mmap-zero-page codes (NOTES.md:
+    reference UB emulations; fuzz seed 12247)."""
+    import gzip
+    import os
+    import numpy as np
+    from yaha_tpu.io import nib2
+    gold = os.path.join(os.path.dirname(__file__), "golden", "testgen.nib2")
+    with open(gold, "rb") as f:
+        g = nib2.load(f.read())
+    assert len(g.codes) >= g.max_roff + 4096
+    assert (np.asarray(g.codes[-4096:]) == 0).all()
