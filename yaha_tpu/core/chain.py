@@ -394,14 +394,19 @@ def process_fragment_range(aa, qs, frags, used, start, end) -> None:
 def _materialize_clumps(qs, offs, o_sqo, o_eqo, o_sro, matched) -> None:
     """Build Clump/SFragment objects from native clump SoA output, in
     emission order (each prepends via addClump, QueryState.c:156-161)."""
+    offs = offs.tolist()
+    o_sqo = o_sqo.tolist()
+    o_eqo = o_eqo.tolist()
+    o_sro = o_sro.tolist()
+    matched = matched.tolist()
     for k in range(len(offs) - 1):
         clump = Clump()
         for i in range(offs[k], offs[k + 1]):
             sf = SFragment(Fragment(
-                sqo=int(o_sqo[i]), eqo=int(o_eqo[i]), sro=int(o_sro[i]),
-                ref_len=int(o_eqo[i] - o_sqo[i] + 1)))
+                sqo=o_sqo[i], eqo=o_eqo[i], sro=o_sro[i],
+                ref_len=o_eqo[i] - o_sqo[i] + 1))
             clump.sfrags.append(sf)
-        clump.matched_bases = int(matched[k])
+        clump.matched_bases = matched[k]
         qs.add_clump(clump)
 
 

@@ -148,35 +148,35 @@ class BatchAligner:
         res = host.collect_gaps(qs.clumps, qs, self.aa)
         if res is None:
             return False
-        offs, sqo, eqo, sro, rlen, kind, score, oplen, a0, a1 = res
+        offs, sqo, eqo, sro, rlen, kind, score, oplen, a0, a1 = \
+            [a.tolist() for a in res]
         genome = qs.genome_codes
         for k, clump in enumerate(qs.clumps):
             q_codes = qs.clump_query_codes(clump)
             new_sfrags = []
             for i in range(offs[k], offs[k + 1]):
                 sf = SFragment(Fragment(
-                    sqo=int(sqo[i]), eqo=int(eqo[i]), sro=int(sro[i]),
-                    ref_len=int(rlen[i])))
-                sf.score = int(score[i])
-                kd = int(kind[i])
+                    sqo=sqo[i], eqo=eqo[i], sro=sro[i], ref_len=rlen[i]))
+                sf.score = score[i]
+                kd = kind[i]
                 if kd == 0:
-                    sf.eol.items = [[MATCH, int(oplen[i])]]
+                    sf.eol.items = [[MATCH, oplen[i]]]
                 elif kd == 1:
-                    sf.eol.items = [[DELETE, int(oplen[i])]]
+                    sf.eol.items = [[DELETE, oplen[i]]]
                 elif kd == 2:
-                    sf.eol.items = [[INSERT, int(oplen[i])]]
+                    sf.eol.items = [[INSERT, oplen[i]]]
                 elif kd == 3:
                     sf.eol.items = [[REPLACE, 1]]
                 else:
-                    q_gap = int(eqo[i] - sqo[i] + 1)
-                    r_gap = int(rlen[i])
+                    q_gap = eqo[i] - sqo[i] + 1
+                    r_gap = rlen[i]
                     problems.append(_GapProblem(
                         sf,
                         np.asarray(q_codes[sf.frag.sqo:
                                            sf.frag.sqo + q_gap]),
                         np.asarray(genome[sf.frag.sro:
                                           sf.frag.sro + r_gap]),
-                        q_gap, r_gap, int(a0[i]), int(a1[i])))
+                        q_gap, r_gap, a0[i], a1[i]))
                 new_sfrags.append(sf)
             clump.sfrags = new_sfrags
         return True

@@ -270,7 +270,7 @@ def _tb_sig(lib):
 
 
 def _tb_items(ops_b, lens, lo, hi):
-    return [[ops_b[i], int(lens[i])] for i in range(lo, hi)]
+    return [[ops_b[i], lens[i]] for i in range(lo, hi)]
 
 
 def traceback_anchored_batch(eo, idc, qlens, rlens):
@@ -298,6 +298,8 @@ def traceback_anchored_batch(eo, idc, qlens, rlens):
         p(ops, ct.c_uint8), p(lens, ct.c_int32), p(offs, ct.c_int64), cap)
     assert rc == 0
     ops_b = ops.tobytes().decode("latin1")
+    lens = lens.tolist()
+    offs = offs.tolist()
     return [_tb_items(ops_b, lens, offs[k], offs[k + 1]) for k in range(n)]
 
 
@@ -329,6 +331,8 @@ def traceback_extension_batch(eo, idc, maxi, maxj, score, reverse):
         p(ops, ct.c_uint8), p(lens, ct.c_int32), p(offs, ct.c_int64), cap)
     assert rc == 0
     ops_b = ops.tobytes().decode("latin1")
+    lens = lens.tolist()
+    offs = offs.tolist()
     return [_tb_items(ops_b, lens, offs[k], offs[k + 1]) for k in range(n)]
 
 
