@@ -362,10 +362,21 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
         # content-derived (QueryState.c:171-187), so the result is
         # byte-identical to a single-worker run.
         import concurrent.futures as cf
-        pool = cf.ProcessPoolExecutor(
-            max_workers=aa.num_threads,
-            initializer=_worker_init,
-            initargs=(aa, aa.gfile_name, aa.xfile_name, backend))
+        import multiprocessing as mp
+        if "fork" in mp.get_all_start_methods():
+            # fork inherits the parent's genome/index pages copy-on-write
+            # (the pthread analog of the reference's shared mmap index,
+            # Query.c:556): no per-worker reload, no extra index RAM.
+            global _WORKER_ALIGNER
+            _WORKER_ALIGNER = aligner
+            pool = cf.ProcessPoolExecutor(
+                max_workers=aa.num_threads,
+                mp_context=mp.get_context("fork"))
+        else:                                           # pragma: no cover
+            pool = cf.ProcessPoolExecutor(
+                max_workers=aa.num_threads,
+                initializer=_worker_init,
+                initargs=(aa, aa.gfile_name, aa.xfile_name, backend))
     # Pipeline overlap (the PP analog, SURVEY.md section 2.2): a writer
     # thread emits batch k (serialize + flush + cursor) while the main
     # thread aligns batch k+1.  Output order and the resume cursor's

@@ -297,8 +297,9 @@ def traceback_anchored_batch(eo, idc, qlens, rlens):
         p(rlens, ct.c_int64), n, eo_h, eo_w,
         p(ops, ct.c_uint8), p(lens, ct.c_int32), p(offs, ct.c_int64), cap)
     assert rc == 0
-    ops_b = ops.tobytes().decode("latin1")
-    lens = lens.tolist()
+    used = int(offs[n])
+    ops_b = ops[:used].tobytes().decode("latin1")
+    lens = lens[:used].tolist()
     offs = offs.tolist()
     return [_tb_items(ops_b, lens, offs[k], offs[k + 1]) for k in range(n)]
 
@@ -330,8 +331,9 @@ def traceback_extension_batch(eo, idc, maxi, maxj, score, reverse):
         n, eo_h, eo_w,
         p(ops, ct.c_uint8), p(lens, ct.c_int32), p(offs, ct.c_int64), cap)
     assert rc == 0
-    ops_b = ops.tobytes().decode("latin1")
-    lens = lens.tolist()
+    used = int(offs[n])
+    ops_b = ops[:used].tobytes().decode("latin1")
+    lens = lens[:used].tolist()
     offs = offs.tolist()
     return [_tb_items(ops_b, lens, offs[k], offs[k + 1]) for k in range(n)]
 
@@ -374,7 +376,9 @@ def frags_to_clumps(sqo, eqo, sro, query_len, aa):
         cap_frags, cap_clumps)
     if nc < 0:
         return None
-    return clump_offs[:nc + 1], out_sqo, out_eqo, out_sro, matched
+    used = int(clump_offs[nc])
+    return (clump_offs[:nc + 1], out_sqo[:used], out_eqo[:used],
+            out_sro[:used], matched[:nc])
 
 
 def seed_to_clumps(codes, index, aa, *, cap_frags=65536, cap_clumps=8192):
@@ -430,8 +434,9 @@ def seed_to_clumps(codes, index, aa, *, cap_frags=65536, cap_clumps=8192):
         p64(matched), cap_frags, cap_clumps, ct.byref(total))
     if nc < 0:
         return None
-    return (clump_offs[:nc + 1], out_sqo, out_eqo, out_sro, matched,
-            int(total.value))
+    used = int(clump_offs[nc])
+    return (clump_offs[:nc + 1], out_sqo[:used], out_eqo[:used],
+            out_sro[:used], matched[:nc], int(total.value))
 
 
 def collect_gaps(clumps, qs, aa):
@@ -494,4 +499,5 @@ def collect_gaps(clumps, qs, aa):
         p(outs[5]), p(outs[6]), p(outs[7]), p(outs[8]), p(outs[9]), cap)
     if rc < 0:
         return None
-    return outs
+    used = int(outs[0][n_clumps])
+    return [outs[0]] + [a[:used] for a in outs[1:]]

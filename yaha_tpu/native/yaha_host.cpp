@@ -523,6 +523,7 @@ int64_t yt_frags_to_clumps(
         int64_t* out_sqo, int64_t* out_eqo, int64_t* out_sro,
         int64_t* clump_offs, int64_t* clump_matched,
         int64_t cap_frags, int64_t cap_clumps) {
+    clump_offs[0] = 0;   // `used` slice bound is valid even with 0 clumps
     std::vector<CFrag> frags((size_t)n);
     for (int64_t i = 0; i < n; i++)
         frags[i] = CFrag{in_sqo[i], in_eqo[i], in_sro[i]};
@@ -682,6 +683,7 @@ int64_t yt_seed_to_clumps(
         int64_t* total_hits_out) {
     const int64_t M32 = 0xFFFFFFFFll;
     int64_t n_win = q_len - word_len + 1;
+    clump_offs[0] = 0;   // `used` slice bound is valid even with 0 clumps
     *total_hits_out = 0;
     if (n_win <= 0) {
         clump_offs[0] = 0;
