@@ -78,9 +78,23 @@ def gen_reads(rng, genome, path, fastq=False):
                 if rng.random() < 0.5:
                     part2 = part2.translate(COMP)[::-1]
                 s = list(genome[c1][p1:p1 + l1] + part2)
-            else:
+            elif kind < 0.95:
                 # random garbage
                 s = [rng.choice(BASES) for _ in range(rng.randint(20, 200))]
+            else:
+                # length extremes: tiny (< wordLen), near/over the 32kb
+                # cap (exercises skip-with-warning and realloc analogs,
+                # Query.c:81-100,148-213)
+                ln = rng.choice([1, 5, 12, 14, 31990, 32000, 32001, 33000])
+                c = rng.choice(names)
+                g = genome[c]
+                if ln <= len(g) - 1:
+                    p = rng.randrange(0, len(g) - ln)
+                    s = list(g[p:p + ln])
+                    # long reads tile the genome piece if needed
+                else:
+                    reps = ln // (len(g) - 1) + 1
+                    s = list((g[:-1] * reps)[:ln])
             err = rng.choice([0.0, 0.01, 0.03, 0.08, 0.15])
             for k in range(len(s)):
                 r = rng.random()
@@ -173,7 +187,13 @@ def run_one(seed, keep=False):
         r1 = subprocess.run(ref_cmd, cwd=d, capture_output=True, timeout=300)
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO
-        engine = ["--engine", "batch"] if rng.random() < 0.7 else []
+        r_eng = rng.random()
+        if r_eng < 0.55:
+            engine = ["--engine", "batch"]
+        elif r_eng < 0.7:
+            engine = ["--engine", "batch", "-t", "2"]
+        else:
+            engine = []
         my_cmd = [sys.executable, "-m", "yaha_tpu.cli", "-x", idx, "-q",
                   reads_name] + engine + cfg + [out_mode, "my.out"]
         r2 = subprocess.run(my_cmd, cwd=d, env=env, capture_output=True,
