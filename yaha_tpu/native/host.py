@@ -386,7 +386,10 @@ def seed_to_clumps(codes, index, aa, *, cap_frags=65536, cap_clumps=8192):
 
     Returns (clump_offs, out_sqo, out_eqo, out_sro, matched, total_hits)
     or None when the native lib is unavailable or capacity is exceeded
-    (caller falls back to the Python stage pipeline).
+    (caller falls back to the Python stage pipeline).  Capacity grows x8
+    up to ~4M emitted fragments before giving up: highly repetitive long
+    reads (tandem repeats near the 32kb cap) legitimately emit huge
+    clump sets, and the unbounded Python fallback is ~100x slower there.
     """
     lib = _load()
     import ctypes as ct
@@ -422,18 +425,28 @@ def seed_to_clumps(codes, index, aa, *, cap_frags=65536, cap_clumps=8192):
     def p64(a):
         return a.ctypes.data_as(ct.POINTER(ct.c_int64))
 
-    nc = lib.yt_seed_to_clumps(
-        codes.ctypes.data_as(ct.POINTER(ct.c_uint8)), len(codes),
-        index.word_len,
-        so.ctypes.data_as(ct.POINTER(ct.c_uint32)),
-        roa.ctypes.data_as(ct.POINTER(ct.c_uint32)), len(roa),
-        aa.max_hits,
-        aa.max_gap, aa.max_desert, aa.min_match, aa.min_non_overlap,
-        aa.m_score, aa.go_cost, aa.ge_cost, aa.band_width,
-        p64(out_sqo), p64(out_eqo), p64(out_sro), p64(clump_offs),
-        p64(matched), cap_frags, cap_clumps, ct.byref(total))
-    if nc < 0:
-        return None
+    while True:
+        nc = lib.yt_seed_to_clumps(
+            codes.ctypes.data_as(ct.POINTER(ct.c_uint8)), len(codes),
+            index.word_len,
+            so.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+            roa.ctypes.data_as(ct.POINTER(ct.c_uint32)), len(roa),
+            aa.max_hits,
+            aa.max_gap, aa.max_desert, aa.min_match, aa.min_non_overlap,
+            aa.m_score, aa.go_cost, aa.ge_cost, aa.band_width,
+            p64(out_sqo), p64(out_eqo), p64(out_sro), p64(clump_offs),
+            p64(matched), cap_frags, cap_clumps, ct.byref(total))
+        if nc >= 0:
+            break
+        if cap_frags >= (1 << 22):
+            return None
+        cap_frags *= 8
+        cap_clumps *= 8
+        out_sqo = np.empty(cap_frags, np.int64)
+        out_eqo = np.empty(cap_frags, np.int64)
+        out_sro = np.empty(cap_frags, np.int64)
+        clump_offs = np.empty(cap_clumps + 1, np.int64)
+        matched = np.empty(cap_clumps, np.int64)
     used = int(clump_offs[nc])
     return (clump_offs[:nc + 1], out_sqo[:used], out_eqo[:used],
             out_sro[:used], matched[:nc], int(total.value))
