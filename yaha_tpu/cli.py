@@ -23,8 +23,24 @@ def _parse_bool(s, key):
     sys.exit(1)
 
 
+def _atoi(s):
+    """C atoi semantics (Main.c parses with atoi): leading whitespace,
+    optional sign, digit prefix; non-numeric input parses as 0 instead of
+    raising."""
+    import re
+    m = re.match(r"\s*([+-]?\d+)", s)
+    return int(m.group(1)) if m else 0
+
+
+def _atof(s):
+    """C atof semantics: numeric prefix, 0.0 on non-numeric input."""
+    import re
+    m = re.match(r"\s*([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)", s)
+    return float(m.group(1)) if m else 0.0
+
+
 def _parse_int(s, key):
-    v = int(s)
+    v = _atoi(s)
     if v < 0:
         print("%s is not a valid value for parameter %s." % (s, key),
               file=sys.stderr)
@@ -33,7 +49,7 @@ def _parse_int(s, key):
 
 
 def _parse_float(s, key):
-    v = float(s)
+    v = _atof(s)
     if v <= 0.0 or v > 1.0:
         print("%s is not a valid value for parameter %s." % (s, key),
               file=sys.stderr)
@@ -338,8 +354,18 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
     start_read = 0
     mode = "w"
     if getattr(aa, "resume", False) and os.path.exists(cursor_path):
+        # Cursor records "<reads_done> <output_bytes>".  A crash between
+        # the output flush and the cursor write leaves the output file
+        # ahead of the cursor; truncating to the recorded byte offset
+        # restores the exact post-batch state so append cannot duplicate
+        # (or split) records.
         with open(cursor_path) as f:
-            start_read = int(f.read().strip() or 0)
+            fields = f.read().split()
+        start_read = int(fields[0]) if fields else 0
+        cursor_bytes = int(fields[1]) if len(fields) > 1 else None
+        if cursor_bytes is not None and os.path.exists(aa.ofile_name):
+            with open(aa.ofile_name, "r+b") as tf:
+                tf.truncate(cursor_bytes)
         mode = "a"
         print("Resuming at read %d." % start_read, file=sys.stderr)
     timers = StageTimers()
@@ -400,10 +426,14 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
                     out.flush()
                     if n_done is not None and out is not sys.stdout:
                         with open(cursor_path, "w") as f:
-                            f.write(str(n_done))
+                            f.write("%d %d" % (n_done, out.tell()))
             except Exception as e:          # pragma: no cover
                 emit_err.append(e)
-                return
+                # Drain so producers blocked on the bounded queue wake up
+                # and see emit_err instead of hanging forever.
+                while True:
+                    if emit_q.get() is None:
+                        return
 
     writer = threading.Thread(target=_writer, daemon=True)
     writer.start()

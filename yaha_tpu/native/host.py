@@ -318,19 +318,26 @@ def traceback_extension_batch(eo, idc, maxi, maxj, score, reverse):
     score = np.ascontiguousarray(score, np.int32)
     reverse = np.ascontiguousarray(reverse, np.uint8)
     cap = int(n * (eo_h + eo_w + 2) + 8)
-    ops = np.empty(cap, np.uint8)
-    lens = np.empty(cap, np.int32)
-    offs = np.empty(n + 1, np.int64)
 
     def p(a, t):
         return a.ctypes.data_as(ct.POINTER(t))
 
-    rc = lib.yt_traceback_extension_batch(
-        p(eo, ct.c_int8), p(idc, ct.c_int32), p(maxi, ct.c_int32),
-        p(maxj, ct.c_int32), p(score, ct.c_int32), p(reverse, ct.c_uint8),
-        n, eo_h, eo_w,
-        p(ops, ct.c_uint8), p(lens, ct.c_int32), p(offs, ct.c_int64), cap)
-    assert rc == 0
+    while True:
+        ops = np.empty(cap, np.uint8)
+        lens = np.empty(cap, np.int32)
+        offs = np.empty(n + 1, np.int64)
+        rc = lib.yt_traceback_extension_batch(
+            p(eo, ct.c_int8), p(idc, ct.c_int32), p(maxi, ct.c_int32),
+            p(maxj, ct.c_int32), p(score, ct.c_int32), p(reverse, ct.c_uint8),
+            n, eo_h, eo_w,
+            p(ops, ct.c_uint8), p(lens, ct.c_int32), p(offs, ct.c_int64),
+            cap)
+        if rc == 0:
+            break
+        # A path alternating 1-base inserts/deletes can emit up to ~2*qlen
+        # runs per problem, exceeding the (eo_h + eo_w + 2) estimate; retry
+        # with a doubled buffer instead of aborting.
+        cap *= 2
     used = int(offs[n])
     ops_b = ops[:used].tobytes().decode("latin1")
     lens = lens[:used].tolist()
