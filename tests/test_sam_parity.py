@@ -81,3 +81,54 @@ def test_sam_parity(scratch, out_name, reads, idx, args):
     with open(os.path.join(GOLD, out_name), "rb") as f:
         gold = f.read()
     assert mine == gold, "output differs from reference golden"
+
+
+@pytest.mark.parametrize("out_name,reads,idx,args", CASES,
+                         ids=["native-" + c[0] for c in CASES])
+def test_sam_parity_native_engine(scratch, out_name, reads, idx, args):
+    """The full C++ per-read pipeline (--engine native, yaha_pipe.cpp)
+    must hit the same byte-exact goldens as the oracle."""
+    from yaha_tpu.native import host
+    if not host.available():
+        pytest.skip("native library not built")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    out_path = "native_" + out_name
+    cmd = [sys.executable, "-m", "yaha_tpu.cli", "-x", idx, "-q", reads,
+           "--engine", "native", *args, out_path]
+    r = subprocess.run(cmd, cwd=scratch, env=env, capture_output=True,
+                       timeout=2400)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    with open(os.path.join(scratch, out_path), "rb") as f:
+        mine = f.read()
+    with open(os.path.join(GOLD, out_name), "rb") as f:
+        gold = f.read()
+    # @PG embeds the -o file name, which differs here by design.
+    strip = lambda b: [l for l in b.splitlines() if not l.startswith(b"@PG")]
+    assert strip(mine) == strip(gold), \
+        "native engine output differs from reference golden"
+
+
+def test_native_engine_threads_deterministic(scratch):
+    """-t 4 through the native engine is byte-identical to -t 1 (the
+    reference's -t output is completion-order dependent; ours is
+    input-ordered by construction)."""
+    from yaha_tpu.native import host
+    if not host.available():
+        pytest.skip("native library not built")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    outs = []
+    for t in ("1", "4"):
+        out = "nthreads_%s.sam" % t
+        cmd = [sys.executable, "-m", "yaha_tpu.cli",
+               "-x", "testgen.X11_01_65525S", "-q", "readsD_sv.fasta",
+               "--engine", "native", "-t", t, "-osh", out]
+        r = subprocess.run(cmd, cwd=scratch, env=env, capture_output=True,
+                           timeout=2400)
+        assert r.returncode == 0, r.stderr.decode()[-2000:]
+        with open(os.path.join(scratch, out), "rb") as f:
+            # @PG embeds the -t value and output name; ignore it.
+            outs.append([l for l in f.read().splitlines()
+                         if not l.startswith(b"@PG")])
+    assert outs[0] == outs[1]

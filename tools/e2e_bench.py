@@ -97,6 +97,14 @@ def main():
         out = os.path.join(d, "mine_t%d.sam" % t)
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        if args.engine in ("native", "oracle", "batch", "batch-numpy"):
+            # Host-only engines are jax-free by design; drop the axon TPU
+            # plugin's sitecustomize (~2s of jax imports at startup) from
+            # the measurement, exactly as a production deployment of the
+            # host path would.
+            env["PYTHONPATH"] = os.pathsep.join(
+                p for p in env["PYTHONPATH"].split(os.pathsep)
+                if "axon_site" not in p)
         t0 = time.perf_counter()
         subprocess.run([sys.executable, "-m", "yaha_tpu.cli",
                         "-x", "testgen.X11_01_65525S",

@@ -188,9 +188,13 @@ def run_one(seed, keep=False):
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO
         r_eng = rng.random()
-        if r_eng < 0.55:
+        if r_eng < 0.40:
+            engine = ["--engine", "native"]
+        elif r_eng < 0.5:
+            engine = ["--engine", "native", "-t", "2"]
+        elif r_eng < 0.75:
             engine = ["--engine", "batch"]
-        elif r_eng < 0.7:
+        elif r_eng < 0.85:
             engine = ["--engine", "batch", "-t", "2"]
         else:
             engine = []

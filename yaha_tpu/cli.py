@@ -59,8 +59,8 @@ def _parse_float(s, key):
     # the float32-rounded threshold to double.  0.60 as float32 is
     # 0.60000002..., so an identity of exactly 660/1100 = 0.6 REJECTS
     # there but would pass a double 0.6 (fuzz seed 10226).
-    import numpy as np
-    return float(np.float32(v))
+    import struct
+    return struct.unpack("f", struct.pack("f", v))[0]
 
 
 def main(argv=None):
@@ -194,8 +194,8 @@ def main(argv=None):
             # batch-numpy / batch-xla / batch-pallas: explicit backends.
             i += 1
             aa.engine = argv[i]
-            valid = ("oracle", "batch", "batch-numpy", "batch-xla",
-                     "batch-pallas")
+            valid = ("oracle", "native", "batch", "batch-numpy",
+                     "batch-xla", "batch-pallas")
             if aa.engine not in valid:
                 print("--engine must be one of: %s" % ", ".join(valid),
                       file=sys.stderr)
@@ -308,11 +308,24 @@ def _do_index(aa):
 
 
 def _do_query(aa):
-    from .io import nib2, index_io
-    from .core import pipeline
-    with open(aa.gfile_name, "rb") as f:
-        genome = nib2.load(f.read())
-    index = index_io.load_index(aa.xfile_name)
+    engine = getattr(aa, "engine", "oracle")
+    if engine == "native":
+        from .native import host
+        if host.available():
+            # numpy-free fast path: native loaders + native pipeline.
+            from .io import native_loader
+            genome = native_loader.load_genome(aa.gfile_name)
+            index = native_loader.load_index(aa.xfile_name)
+        else:
+            from .io import nib2, index_io
+            with open(aa.gfile_name, "rb") as f:
+                genome = nib2.load(f.read())
+            index = index_io.load_index(aa.xfile_name)
+    else:
+        from .io import nib2, index_io
+        with open(aa.gfile_name, "rb") as f:
+            genome = nib2.load(f.read())
+        index = index_io.load_index(aa.xfile_name)
     aa.word_len = index.word_len
     if index.max_hits < aa.max_hits:
         print("WARNING: Index file made with maxHits of %d, while %d "
@@ -322,14 +335,126 @@ def _do_query(aa):
         aa.max_hits = index.max_hits
     with open(aa.qfile_name, "rb") as f:
         qdata = f.read()
-    engine = getattr(aa, "engine", "oracle")
-    if engine != "oracle":
+    if engine == "native":
+        _run_native_engine(aa, genome, index, qdata)
+    elif engine != "oracle":
         _run_batch_engine(aa, genome, index, qdata, engine)
-    elif aa.ofile_name in ("stdout", "-"):
-        pipeline.run_query_file(aa, genome, index, qdata, sys.stdout)
     else:
-        with open(aa.ofile_name, "w") as out:
-            pipeline.run_query_file(aa, genome, index, qdata, out)
+        from .core import pipeline
+        if aa.ofile_name in ("stdout", "-"):
+            pipeline.run_query_file(aa, genome, index, qdata, sys.stdout)
+        else:
+            with open(aa.ofile_name, "w") as out:
+                pipeline.run_query_file(aa, genome, index, qdata, out)
+
+
+def _run_native_engine(aa, genome, index, qdata):
+    """Full native per-read pipeline (yt_align_batch): the product fast
+    path.  Reads are parsed once natively; batches go through the C++
+    pipeline (internal -t threads); output is emitted per batch with the
+    same writer-thread overlap and resume-cursor semantics as the batch
+    engines."""
+    import os
+    import queue
+    import threading
+    from .io import sam
+    from .native import host
+    from .utils.timing import StageTimers
+
+    if not host.available():
+        print("native engine requires libyaha_host.so "
+              "(tools/build_native.sh); falling back to oracle.",
+              file=sys.stderr)
+        from .core import pipeline
+        if aa.ofile_name in ("stdout", "-"):
+            pipeline.run_query_file(aa, genome, index, qdata, sys.stdout)
+        else:
+            with open(aa.ofile_name, "w") as out:
+                pipeline.run_query_file(aa, genome, index, qdata, out)
+        return
+
+    aa.fastq = qdata[:1] == b"@"
+    pr = host.parse_queries_native(qdata, aa.fastq, aa.max_query_length,
+                                   aa.word_len)
+    n_reads = pr.n
+    batch_size = getattr(aa, "batch_size", 0) or 8192
+    cursor_path = aa.ofile_name + ".cursor"
+    start_read = 0
+    mode = "w"
+    if getattr(aa, "resume", False) and os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            fields = f.read().split()
+        start_read = int(fields[0]) if fields else 0
+        cursor_bytes = int(fields[1]) if len(fields) > 1 else None
+        if cursor_bytes is not None and os.path.exists(aa.ofile_name):
+            with open(aa.ofile_name, "r+b") as tf:
+                tf.truncate(cursor_bytes)
+        mode = "a"
+        print("Resuming at read %d." % start_read, file=sys.stderr)
+    timers = StageTimers()
+    out = (sys.stdout.buffer if aa.ofile_name in ("stdout", "-")
+           else open(aa.ofile_name, mode + "b"))
+    emit_q = queue.Queue(maxsize=2)
+    emit_err = []
+    n = start_read
+
+    def _writer():
+        while True:
+            item = emit_q.get()
+            if item is None:
+                return
+            text, n_done = item
+            try:
+                with timers.stage("emit"):
+                    out.write(text)
+                    out.flush()
+                    if n_done is not None and out is not sys.stdout.buffer:
+                        with open(cursor_path, "w") as f:
+                            f.write("%d %d" % (n_done, out.tell()))
+            except Exception as e:          # pragma: no cover
+                emit_err.append(e)
+                while True:
+                    if emit_q.get() is None:
+                        return
+
+    writer = threading.Thread(target=_writer, daemon=True)
+    writer.start()
+    try:
+        if start_read == 0:
+            emit_q.put((sam.file_header(aa, genome).encode("latin-1"),
+                        None))
+        for lo in range(start_read, n_reads, batch_size):
+            hi = min(lo + batch_size, n_reads)
+            with timers.stage("align batch"):
+                text = host.align_batch_native(
+                    pr, lo, hi, genome, index, aa,
+                    n_threads=aa.num_threads)
+            if emit_err:
+                raise emit_err[0]
+            n = hi
+            emit_q.put((text, n))
+        emit_q.put(None)
+        writer.join()
+        if emit_err:
+            raise emit_err[0]
+        if aa.verbose:
+            timers.print_report()
+            total_s = sum(timers.totals.values())
+            done = n - start_read
+            if total_s > 0 and done > 0:
+                print("Processed %d reads (%.0f reads/s)." %
+                      (done, done / total_s), file=sys.stderr)
+    finally:
+        if writer.is_alive():
+            try:
+                emit_q.put_nowait(None)
+            except queue.Full:
+                pass
+            writer.join(timeout=30)
+        if out is not sys.stdout.buffer:
+            out.close()
+            if os.path.exists(cursor_path) and n >= n_reads:
+                os.unlink(cursor_path)
 
 
 def _run_batch_engine(aa, genome, index, qdata, engine):

@@ -8,7 +8,6 @@ clump status.
 """
 from __future__ import annotations
 
-from ..utils import codec
 from ..core.editops import (MATCH, REPLACE, DELETE, HARD_CLIP,
                             SOFT_CLIP)
 
@@ -70,6 +69,7 @@ def file_header(aa, genome, user_mode=True) -> str:
 def print_clump(clump, aa, qs) -> str:
     """printClump (AlignOutput.c:115-321).  Returns the output text
     ("" when the alignment spans base sequences and is dropped)."""
+    from ..utils import codec
     frag0 = clump.first_frag
     fragn = clump.last_frag
     seq_start = frag0.sro

@@ -9,7 +9,18 @@ from __future__ import annotations
 import ctypes
 import os
 
-import numpy as np
+
+class _LazyNumpy:
+    """Defers the ~0.33s numpy import until a numpy-consuming binding is
+    actually used; the numpy-free native engine never pays it."""
+
+    def __getattr__(self, name):
+        import numpy
+        globals()["np"] = numpy
+        return getattr(numpy, name)
+
+
+np = _LazyNumpy()
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libyaha_host.so")
 _lib = None
@@ -110,6 +121,239 @@ def parse_queries(data: bytes, fastq: bool, max_query_len: int,
         if fastq:
             out_quals.append(qual_bytes[seq_off[k]:seq_off[k + 1]])
     return out_ids, out_seqs, out_quals
+
+
+def parse_queries_raw(data: bytes, fastq: bool, max_query_len: int,
+                      word_len: int):
+    """Like parse_queries but returns the flat arrays directly:
+    (ids u8, id_offs i64, seqs u8, seq_offs i64, quals u8|None, n_reads).
+    This is the zero-copy feed for yt_align_batch."""
+    lib = _load()
+    arr = np.frombuffer(data, dtype=np.uint8)
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    ids = c_u8p()
+    id_offs = c_i64p()
+    seqs = c_u8p()
+    seq_offs = c_i64p()
+    quals = c_u8p()
+    n_reads = ctypes.c_int64()
+    rc = lib.yt_parse_queries(
+        _as_u8p(arr), len(arr), int(fastq), max_query_len, word_len,
+        ctypes.byref(ids), ctypes.byref(id_offs), ctypes.byref(seqs),
+        ctypes.byref(seq_offs), ctypes.byref(quals), ctypes.byref(n_reads))
+    assert rc == 0
+    n = int(n_reads.value)
+    try:
+        id_off = (np.ctypeslib.as_array(id_offs, shape=(n + 1,)).copy()
+                  if n else np.zeros(1, np.int64))
+        seq_off = (np.ctypeslib.as_array(seq_offs, shape=(n + 1,)).copy()
+                   if n else np.zeros(1, np.int64))
+        id_arr = (np.ctypeslib.as_array(ids, shape=(int(id_off[-1]),))
+                  .copy() if n and id_off[-1] else np.zeros(1, np.uint8))
+        seq_arr = (np.ctypeslib.as_array(seqs, shape=(int(seq_off[-1]),))
+                   .copy() if n else np.zeros(1, np.uint8))
+        qual_arr = None
+        if fastq and n:
+            qual_arr = np.ctypeslib.as_array(
+                quals, shape=(int(seq_off[-1]),)).copy()
+    finally:
+        for p in (ids, id_offs, seqs, seq_offs, quals):
+            lib.yt_free(p)
+    return id_arr, id_off, seq_arr, seq_off, qual_arr, n
+
+
+class ParsedReads:
+    """Zero-copy holder of yt_parse_queries output (malloc'd flat arrays);
+    frees them on destruction."""
+
+    __slots__ = ("ids", "id_offs", "seqs", "seq_offs", "quals", "n",
+                 "_lib")
+
+    def __del__(self):
+        lib = getattr(self, "_lib", None)
+        if lib is None:
+            return
+        for name in ("ids", "id_offs", "seqs", "seq_offs", "quals"):
+            p = getattr(self, name, None)
+            if p:
+                lib.yt_free(p)
+
+
+def parse_queries_native(data: bytes, fastq: bool, max_query_len: int,
+                         word_len: int) -> ParsedReads:
+    """numpy-free parse: returns a ParsedReads owning the native arrays."""
+    lib = _load()
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    pr = ParsedReads()
+    pr._lib = lib
+    pr.ids = c_u8p()
+    pr.id_offs = c_i64p()
+    pr.seqs = c_u8p()
+    pr.seq_offs = c_i64p()
+    pr.quals = c_u8p()
+    n_reads = ctypes.c_int64()
+    rc = lib.yt_parse_queries(
+        ctypes.cast(ctypes.c_char_p(data), c_u8p), len(data), int(fastq),
+        max_query_len, word_len,
+        ctypes.byref(pr.ids), ctypes.byref(pr.id_offs),
+        ctypes.byref(pr.seqs), ctypes.byref(pr.seq_offs),
+        ctypes.byref(pr.quals), ctypes.byref(n_reads))
+    assert rc == 0
+    pr.n = int(n_reads.value)
+    return pr
+
+
+def _pack_params_ct(aa, n_threads):
+    ip = (ctypes.c_int64 * 25)(
+        aa.word_len, aa.max_hits, aa.max_gap, aa.max_intron, aa.min_match,
+        aa.max_desert, aa.min_raw_score, aa.min_non_overlap,
+        aa.oqc_min_non_overlap, aa.band_width, aa.m_score, aa.r_cost,
+        aa.go_cost, aa.ge_cost, aa.x_cutoff, aa.min_ext_length, aa.bp_cost,
+        aa.max_bp_log, int(aa.oqc), int(aa.fbs), int(aa.output_sam),
+        int(aa.output_blast8), int(aa.hard_clip), int(aa.fastq),
+        int(n_threads))
+    fp = (ctypes.c_double * 3)(aa.min_identity, aa.fbs_ps_length,
+                               aa.fbs_ps_score)
+    return ip, fp
+
+
+def _ab_sig(lib):
+    import ctypes as ct
+    if not hasattr(lib, "_ab_sig_done"):
+        u8p, i64p = ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int64)
+        lib.yt_align_batch.argtypes = [
+            u8p, i64p, u8p, i64p, u8p, ct.c_int64,
+            u8p, ct.c_int64, ct.c_int64,
+            i64p, i64p, ct.c_int64, u8p, i64p,
+            ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_uint32), ct.c_int64,
+            i64p, ct.POINTER(ct.c_double),
+            ct.POINTER(ct.c_void_p), i64p]
+        lib._ab_sig_done = True
+
+
+def align_batch_native(pr: ParsedReads, lo: int, hi: int, genome, index,
+                       aa, n_threads=1) -> bytes:
+    """Full native pipeline over reads [lo, hi) of a ParsedReads, using
+    numpy-free NativeGenome/NativeIndex handles (io/native_loader.py)."""
+    lib = _load()
+    import ctypes as ct
+    _ab_sig(lib)
+    ip, fp = _pack_params_ct(aa, n_threads)
+
+    def off64(p, k):
+        return ct.cast(ct.cast(p, ct.c_void_p).value + 8 * k,
+                       ct.POINTER(ct.c_int64))
+
+    out_text = ct.c_void_p()
+    out_len = ct.c_int64()
+    rc = lib.yt_align_batch(
+        pr.seqs, off64(pr.seq_offs, lo), pr.ids, off64(pr.id_offs, lo),
+        pr.quals if aa.fastq else None, hi - lo,
+        ct.cast(genome.codes_buf, ct.POINTER(ct.c_uint8)),
+        genome.codes_len, genome.max_roff,
+        ct.cast(genome._starts_arr, ct.POINTER(ct.c_int64)),
+        ct.cast(genome._lens_arr, ct.POINTER(ct.c_int64)), genome.n_seqs,
+        ct.cast(genome._names_blob, ct.POINTER(ct.c_uint8)),
+        ct.cast(genome._name_offs, ct.POINTER(ct.c_int64)),
+        index.so_ptr, index.roa_ptr, index.roa_len,
+        ct.cast(ip, ct.POINTER(ct.c_int64)),
+        ct.cast(fp, ct.POINTER(ct.c_double)),
+        ct.byref(out_text), ct.byref(out_len))
+    assert rc == 0
+    try:
+        return ctypes.string_at(out_text, out_len.value)
+    finally:
+        lib.yt_free(out_text)
+
+
+def _genome_handles(genome):
+    """Cache flat ctypes-ready views of a Genome for yt_align_batch."""
+    h = getattr(genome, "_native_handles", None)
+    if h is None:
+        names_blob = "".join(genome.names).encode("latin-1")
+        name_offs = np.zeros(len(genome.names) + 1, np.int64)
+        for i, nm in enumerate(genome.names):
+            name_offs[i + 1] = name_offs[i] + len(nm)
+        h = (np.ascontiguousarray(genome.codes, np.uint8),
+             np.ascontiguousarray(genome.starting_offsets, np.int64),
+             np.ascontiguousarray(genome.lengths, np.int64),
+             np.frombuffer(names_blob + b"\0", np.uint8),
+             name_offs)
+        try:
+            object.__setattr__(genome, "_native_handles", h)
+        except AttributeError:
+            pass
+    return h
+
+
+def _pack_params(aa, n_threads):
+    import ctypes as ct
+    ip = np.array([
+        aa.word_len, aa.max_hits, aa.max_gap, aa.max_intron, aa.min_match,
+        aa.max_desert, aa.min_raw_score, aa.min_non_overlap,
+        aa.oqc_min_non_overlap, aa.band_width, aa.m_score, aa.r_cost,
+        aa.go_cost, aa.ge_cost, aa.x_cutoff, aa.min_ext_length, aa.bp_cost,
+        aa.max_bp_log, int(aa.oqc), int(aa.fbs), int(aa.output_sam),
+        int(aa.output_blast8), int(aa.hard_clip), int(aa.fastq),
+        int(n_threads)], np.int64)
+    fp = np.array([aa.min_identity, aa.fbs_ps_length, aa.fbs_ps_score],
+                  np.float64)
+    return ip, fp
+
+
+def align_batch_full(seq_arr, seq_off, id_arr, id_off, qual_arr,
+                     genome, index, aa, n_threads=1) -> bytes:
+    """Full native per-read pipeline (yt_align_batch): reads -> SAM/Blast8
+    text.  seq_off/id_off may be slices of the full offset arrays (their
+    values are absolute offsets into the blobs)."""
+    lib = _load()
+    import ctypes as ct
+    if not hasattr(lib, "_ab_sig"):
+        u8p, i64p = ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int64)
+        lib.yt_align_batch.argtypes = [
+            u8p, i64p, u8p, i64p, u8p, ct.c_int64,
+            u8p, ct.c_int64, ct.c_int64,
+            i64p, i64p, ct.c_int64, u8p, i64p,
+            ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_uint32), ct.c_int64,
+            i64p, ct.POINTER(ct.c_double),
+            ct.POINTER(ct.c_void_p), i64p]
+        lib._ab_sig = True
+    codes, starts, lens, names_blob, name_offs = _genome_handles(genome)
+    so = index.starting_offs
+    roa = index.roa
+    if so.dtype != np.uint32:
+        so = np.ascontiguousarray(so, np.uint32)
+        index.starting_offs = so
+    if roa.dtype != np.uint32:
+        roa = np.ascontiguousarray(roa, np.uint32)
+        index.roa = roa
+    ip, fp = _pack_params(aa, n_threads)
+    n_reads = len(seq_off) - 1
+    seq_off = np.ascontiguousarray(seq_off, np.int64)
+    id_off = np.ascontiguousarray(id_off, np.int64)
+
+    def p64(a):
+        return a.ctypes.data_as(ct.POINTER(ct.c_int64))
+
+    out_text = ct.c_void_p()
+    out_len = ct.c_int64()
+    rc = lib.yt_align_batch(
+        _as_u8p(seq_arr), p64(seq_off), _as_u8p(id_arr), p64(id_off),
+        _as_u8p(qual_arr) if qual_arr is not None else None, n_reads,
+        _as_u8p(codes), len(codes), genome.max_roff,
+        p64(starts), p64(lens), genome.n_seqs,
+        _as_u8p(names_blob), p64(name_offs),
+        so.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        roa.ctypes.data_as(ct.POINTER(ct.c_uint32)), len(roa),
+        p64(ip), fp.ctypes.data_as(ct.POINTER(ct.c_double)),
+        ct.byref(out_text), ct.byref(out_len))
+    assert rc == 0
+    try:
+        return ctypes.string_at(out_text, out_len.value)
+    finally:
+        lib.yt_free(out_text)
 
 
 def format_cigar_md(ops, lens, genome_codes: np.ndarray,

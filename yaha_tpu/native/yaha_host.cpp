@@ -13,6 +13,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cstdio>
+#include <ctime>
 #include <string>
 #include <vector>
 #include <algorithm>
@@ -357,7 +358,9 @@ int64_t yt_chain_dp(int64_t n, const int64_t* sqo, const int64_t* eqo,
                     int64_t* best_score, int64_t* prev_idx,
                     int64_t* path_length, int64_t* path_sqo) {
     const int64_t M32 = 0xFFFFFFFFll;
-    std::vector<int64_t> sro(n), ero(n), length_w(n);
+    static thread_local std::vector<int64_t> sro, ero, length_w;
+    sro.resize((size_t)n); ero.resize((size_t)n);
+    length_w.resize((size_t)n);
     for (int64_t i = 0; i < n; i++) {
         sro[i] = (diag[i] + sqo[i]) & M32;
         ero[i] = (diag[i] + eqo[i]) & M32;
@@ -524,16 +527,18 @@ int64_t yt_frags_to_clumps(
         int64_t* clump_offs, int64_t* clump_matched,
         int64_t cap_frags, int64_t cap_clumps) {
     clump_offs[0] = 0;   // `used` slice bound is valid even with 0 clumps
-    std::vector<CFrag> frags((size_t)n);
+    static thread_local std::vector<CFrag> frags;
+    frags.resize((size_t)n);
     for (int64_t i = 0; i < n; i++)
         frags[i] = CFrag{in_sqo[i], in_eqo[i], in_sro[i]};
-    std::vector<uint8_t> used((size_t)n, 0);
-    std::vector<uint8_t> coverage((size_t)query_len, 0);
+    static thread_local std::vector<uint8_t> used, coverage;
+    used.assign((size_t)n, 0);
+    coverage.assign((size_t)query_len, 0);
     int64_t n_clumps = 0, n_out = 0;
 
     // Scratch for the chain DP over a region's unused nodes.
-    std::vector<int64_t> ids, nsqo, neqo, ndiag, nlen, nsc, nprev, nplen,
-        npsqo;
+    static thread_local std::vector<int64_t> ids, nsqo, neqo, ndiag, nlen,
+        nsc, nprev, nplen, npsqo;
 
     auto emit_clump = [&](const std::vector<CFrag>& v,
                           int64_t matched) -> bool {
@@ -574,7 +579,7 @@ int64_t yt_frags_to_clumps(
             }
         } else {
             // processFragmentRangeUsingGraph (GraphPath.cpp:272-292).
-            std::fill(coverage.begin(), coverage.end(), 0);
+            coverage.assign((size_t)query_len, 0);
             for (;;) {
                 ids.clear();
                 for (int64_t i = start; i <= end; i++)
@@ -670,6 +675,14 @@ int64_t yt_frags_to_clumps(
 // -> fragment coalescing (QueryMatch.c:99-115) -> the fragment->clump
 // stage above.  One call replaces the per-read numpy pipeline, whose
 // per-op overhead dominates at short read lengths.
+double yt_prof_scan = 0, yt_prof_sort = 0, yt_prof_f2c = 0;
+int64_t yt_prof_hits = 0, yt_prof_frags = 0;
+static double _now_s() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+
 int64_t yt_seed_to_clumps(
         const uint8_t* codes, int64_t q_len, int64_t word_len,
         const uint32_t* so, const uint32_t* roa, int64_t roa_len,
@@ -689,9 +702,94 @@ int64_t yt_seed_to_clumps(
         clump_offs[0] = 0;
         return 0;
     }
-    // Rolling hash with bad-window skip.
+    // Rolling hash with bad-window skip.  Seed hits cluster on few
+    // diagonals (true-alignment diagonals collect ~wordLen hits each), so
+    // instead of sorting every hit, hits are grouped on the fly by an
+    // open-addressing diag hash and coalesced into fragments as they
+    // stream in (scan order guarantees non-decreasing QO per diagonal,
+    // making this exactly equivalent to the former sort+coalesce and to
+    // the reference's heap merge, QueryMatch.c:52-121).  Only the final
+    // handful of fragment records is sorted.
     const int64_t mask = (1ll << (2 * word_len)) - 1;
-    std::vector<uint64_t> keys;   // diag<<32 | qo
+    struct Run { int64_t diag, sqo, eqo; };
+    struct FR { uint64_t key; int64_t eqo; };
+    static thread_local std::vector<Run> runs;
+    static thread_local std::vector<FR> frs;
+    // Slot = epoch<<32 | diag (diag is uint32): one 64-bit compare per
+    // probe, no separate validity check.
+    static thread_local std::vector<uint64_t> ht_tag;
+    static thread_local std::vector<int32_t> ht_val;
+    static thread_local uint32_t epoch = 0;
+    static thread_local size_t table_sz = 0;
+    if (table_sz == 0 || epoch == 0xFFFFFFFFu) {
+        table_sz = table_sz ? table_sz : 2048;
+        ht_tag.assign(table_sz, 0);
+        ht_val.assign(table_sz, 0);
+        epoch = 0;
+    }
+    runs.clear();
+    frs.clear();
+    epoch++;
+    uint64_t etag = (uint64_t)epoch << 32;
+
+    auto emit_run = [&](const Run& r) {
+        frs.push_back({((uint64_t)r.diag << 32) | (uint64_t)r.sqo, r.eqo});
+    };
+    auto grow_table = [&]() {
+        table_sz *= 2;
+        ht_tag.assign(table_sz, 0);
+        ht_val.assign(table_sz, 0);
+        for (size_t k = 0; k < runs.size(); k++) {
+            uint64_t tag = etag | (uint64_t)(uint32_t)runs[k].diag;
+            uint64_t hh = (uint64_t)runs[k].diag * 0x9E3779B97F4A7C15ull;
+            size_t slot = (size_t)(hh & (table_sz - 1));
+            while (ht_tag[slot] >> 32 == epoch)
+                slot = (slot + 1) & (table_sz - 1);
+            ht_tag[slot] = tag;
+            ht_val[slot] = (int32_t)k;
+        }
+    };
+    // Single-entry cache: successive windows of the same alignment land
+    // on the same diagonal (qo and ro advance together).
+    int64_t last_diag = -1;
+    int32_t last_val = 0;
+    auto push_hit = [&](int64_t diag, int64_t qo) {
+        int32_t val;
+        if (diag == last_diag) {
+            val = last_val;
+        } else {
+            uint64_t tag = etag | (uint64_t)(uint32_t)diag;
+            uint64_t hh = (uint64_t)diag * 0x9E3779B97F4A7C15ull;
+            size_t slot = (size_t)(hh & (table_sz - 1));
+            uint64_t t;
+            while ((t = ht_tag[slot]) != tag && (t >> 32) == epoch)
+                slot = (slot + 1) & (table_sz - 1);
+            if (t != tag) {
+                ht_tag[slot] = tag;
+                ht_val[slot] = (int32_t)runs.size();
+                last_diag = diag;
+                last_val = (int32_t)runs.size();
+                runs.push_back({diag, qo, qo});
+                if (runs.size() * 2 > table_sz) {
+                    grow_table();
+                }
+                return;
+            }
+            val = ht_val[slot];
+            last_diag = diag;
+            last_val = val;
+        }
+        Run& r = runs[(size_t)val];
+        if (qo - r.eqo > word_len) {
+            emit_run(r);
+            r.sqo = qo;
+            r.eqo = qo;
+        } else {
+            r.eqo = qo;
+        }
+    };
+
+    double _t0 = _now_s();
     int64_t h = 0;
     int64_t good = 0;             // clean codes accumulated
     int64_t total_hits = 0;
@@ -709,53 +807,48 @@ int64_t yt_seed_to_clumps(
         for (int64_t j = off; j < off + cnt; j++) {
             int64_t ro = roa[j];
             if (ro >= qo) any_ok = true;
-            uint64_t diag = (uint64_t)((ro - qo) & M32);
-            keys.push_back((diag << 32) | (uint64_t)qo);
+            push_hit((ro - qo) & M32, qo);
         }
         if (!any_ok) {
             // All-wrapped run: the reference heap pre-seed reads past the
             // run into the next k-mer's ROA until one entry >= qo.
             for (int64_t j = off + cnt; j < roa_len; j++) {
                 int64_t ro = roa[j];
-                uint64_t diag = (uint64_t)((ro - qo) & M32);
-                keys.push_back((diag << 32) | (uint64_t)qo);
+                push_hit((ro - qo) & M32, qo);
                 if (ro >= qo) break;
             }
         }
     }
     *total_hits_out = total_hits;
-    if (keys.empty()) {
+    if (runs.empty()) {
         clump_offs[0] = 0;
         return 0;
     }
-    std::sort(keys.begin(), keys.end());
-    // Coalesce into maximal exact-match fragments.
-    std::vector<int64_t> fsqo, feqo, fsro;
-    int64_t run_diag = (int64_t)(keys[0] >> 32);
-    int64_t run_sqo = (int64_t)(keys[0] & 0xFFFFFFFFull);
-    int64_t run_eqo = run_sqo;
-    for (size_t t = 1; t < keys.size(); t++) {
-        int64_t d = (int64_t)(keys[t] >> 32);
-        int64_t q = (int64_t)(keys[t] & 0xFFFFFFFFull);
-        if (d != run_diag || q - run_eqo > word_len) {
-            fsqo.push_back(run_sqo);
-            feqo.push_back(run_eqo + word_len - 1);
-            fsro.push_back((run_diag + run_sqo) & M32);
-            run_diag = d;
-            run_sqo = q;
-        }
-        run_eqo = q;
+    double _t1 = _now_s();
+    yt_prof_scan += _t1 - _t0; yt_prof_hits += total_hits;
+    for (const Run& r : runs) emit_run(r);
+    std::sort(frs.begin(), frs.end(),
+              [](const FR& a, const FR& b) { return a.key < b.key; });
+    static thread_local std::vector<int64_t> fsqo, feqo, fsro;
+    fsqo.clear(); feqo.clear(); fsro.clear();
+    for (const FR& fr : frs) {
+        int64_t diag = (int64_t)(fr.key >> 32);
+        int64_t sqo = (int64_t)(fr.key & 0xFFFFFFFFull);
+        fsqo.push_back(sqo);
+        feqo.push_back(fr.eqo + word_len - 1);
+        fsro.push_back((diag + sqo) & M32);
     }
-    fsqo.push_back(run_sqo);
-    feqo.push_back(run_eqo + word_len - 1);
-    fsro.push_back((run_diag + run_sqo) & M32);
 
-    return yt_frags_to_clumps(
+    double _t2 = _now_s();
+    yt_prof_sort += _t2 - _t1; yt_prof_frags += (int64_t)fsqo.size();
+    int64_t _rv = yt_frags_to_clumps(
         fsqo.data(), feqo.data(), fsro.data(), (int64_t)fsqo.size(), q_len,
         max_gap, max_desert, min_match, min_non_overlap, m_score, go_cost,
         ge_cost, band_width, word_len,
         out_sqo, out_eqo, out_sro, clump_offs, clump_matched,
         cap_frags, cap_clumps);
+    yt_prof_f2c += _now_s() - _t2;
+    return _rv;
 }
 
 // Gap-collection stage for all clumps of one read
@@ -1024,7 +1117,9 @@ int yt_extension_forward(const uint8_t* q, const int32_t* qlens,
                          int32_t* maxi_out, int32_t* maxj_out) {
     const int bw2 = 2 * band_width;
     const int w = 2 * bw2 + 1;
-    std::vector<int32_t> pv(w + 2), pf(w + 2), pi(w + 2);
+    static thread_local std::vector<int32_t> pv, pf, pi;
+    pv.resize((size_t)w + 2); pf.resize((size_t)w + 2);
+    pi.resize((size_t)w + 2);
     for (int64_t kk = 0; kk < n; kk++) {
         const uint8_t* qp = q + kk * qlmax;
         const uint8_t* rp = r + kk * rlmax;
@@ -1052,23 +1147,27 @@ int yt_extension_forward(const uint8_t* q, const int32_t* qlens,
             idp[(int64_t)i * w + (bw2 - i)] = i;
         }
         int32_t max_score = DP_WORST, maxi = 0, maxj = 0;
+        int32_t* __restrict__ pvp = pv.data();
+        int32_t* __restrict__ pfp = pf.data();
+        int32_t* __restrict__ pip = pi.data();
         for (int i = 1; i <= qlen; i++) {
             int start_col = bw2 + 1 - i;
             int32_t pv_col;
             if (start_col <= 0) { start_col = 0; pv_col = DP_WORST; }
-            else { pv_col = -(go + i * ge); pv[start_col - 1] = pv_col; }
+            else { pv_col = -(go + i * ge); pvp[start_col - 1] = pv_col; }
             int end_col = bw2 + rlen - i;
             if (end_col > w - 1) end_col = w - 1;
             int32_t pe_col = DP_WORST, pd_col = 0;
             int32_t row_max = DP_WORST;
             int q_char = qp[i - 1];
-            int8_t* eor = eop + (int64_t)i * w;
-            int32_t* idr = idp + (int64_t)i * w;
+            int8_t* __restrict__ eor = eop + (int64_t)i * w;
+            int32_t* __restrict__ idr = idp + (int64_t)i * w;
+            const uint8_t* __restrict__ rrow = rp + i - bw2 - 1;
             for (int j = start_col; j <= end_col; j++) {
-                int32_t v = pv[j];
+                int32_t v = pvp[j];
                 // ref index = i - bw2 - 1 + j; in range when
                 // j >= start_col.
-                int r_char = rp[i - bw2 - 1 + j];
+                int r_char = rrow[j];
                 int8_t opcode;
                 int32_t cell_idc = 0;
                 int32_t g = (q_char == r_char) ? v + ms : v - rc;
@@ -1082,22 +1181,22 @@ int yt_extension_forward(const uint8_t* q, const int32_t* qlens,
                 if (pe_col >= g) { v1 = pe_col; opcode = OP_D;
                                    cell_idc = pd_col; }
                 else v1 = g;
-                int32_t cf = pf[j + 1] - ge;
-                int32_t nf = pv[j + 1] - (go + ge);
+                int32_t cf = pfp[j + 1] - ge;
+                int32_t nf = pvp[j + 1] - (go + ge);
                 int32_t f, ii;
-                if (cf >= nf && pi[j + 1] + 1 <= max_gap) {
-                    f = cf; ii = pi[j + 1] + 1;
+                if (cf >= nf && pip[j + 1] + 1 <= max_gap) {
+                    f = cf; ii = pip[j + 1] + 1;
                 } else { f = nf; ii = 1; }
                 int32_t v2;
                 if (f >= v1) { v2 = f; opcode = OP_I; cell_idc = ii; }
                 else v2 = v1;
-                pf[j] = f;
-                pi[j] = ii;
+                pfp[j] = f;
+                pip[j] = ii;
                 eor[j] = opcode;
-                idr[j] = cell_idc;
+                if (opcode >= OP_I) idr[j] = cell_idc;
                 if (v2 > row_max) row_max = v2;
                 if (v2 > max_score) { max_score = v2; maxi = i; maxj = j; }
-                pv[j] = v2;
+                pvp[j] = v2;
                 pv_col = v2;
             }
             if (row_max < max_score - x_cutoff) break;
@@ -1120,8 +1219,9 @@ int yt_anchored_forward(const uint8_t* q, const int32_t* qlens,
                         int max_gap, int max_intron,
                         int8_t* eo, int32_t* idc, int32_t* score) {
     int64_t wid = rlmax + 1;
-    std::vector<int32_t> pv(wid + 1), pf(wid + 1), pi(wid + 1),
-        v_new(wid + 1);
+    static thread_local std::vector<int32_t> pv, pf, pi, v_new;
+    pv.resize((size_t)wid + 1); pf.resize((size_t)wid + 1);
+    pi.resize((size_t)wid + 1); v_new.resize((size_t)wid + 1);
     for (int64_t kk = 0; kk < n; kk++) {
         const uint8_t* qp = q + kk * qlmax;
         const uint8_t* rp = r + kk * rlmax;
@@ -1141,27 +1241,36 @@ int yt_anchored_forward(const uint8_t* q, const int32_t* qlens,
             pf[j] = DP_WORST;
             pi[j] = 0;
         }
+        int32_t* __restrict__ pvp = pv.data();
+        int32_t* __restrict__ vnp = v_new.data();
+        int32_t* __restrict__ pfp = pf.data();
+        int32_t* __restrict__ pip = pi.data();
         for (int i = 1; i <= qlen; i++) {
-            int8_t* eorow = eop + (int64_t)i * wid;
-            int32_t* idrow = idp + (int64_t)i * wid;
+            int8_t* __restrict__ eorow = eop + (int64_t)i * wid;
+            int32_t* __restrict__ idrow = idp + (int64_t)i * wid;
             // Column-0 insert boundary while within the left band.
             if (i <= lbw) { eorow[0] = OP_I; idrow[0] = i; }
             else { eorow[0] = OP_U; idrow[0] = 0; }
             int64_t jlo = (int64_t)i - lbw; if (jlo < 1) jlo = 1;
             int64_t jhi = (int64_t)i + rbw; if (jhi > rlen) jhi = rlen;
-            for (int64_t j = 1; j < jlo && j < wid; j++) {
-                eorow[j] = OP_U; idrow[j] = 0;
+            // Out-of-band opcode padding (OP_U = 0); idc there is never
+            // read (backtrack stops at OP_U).
+            if (jlo > 1) {
+                int64_t hi = jlo < wid ? jlo : wid;
+                memset(eorow + 1, 0, (size_t)(hi - 1));
             }
-            for (int64_t j = jhi + 1; j < wid; j++) {
-                eorow[j] = OP_U; idrow[j] = 0;
-            }
+            if (jhi + 1 < wid)
+                memset(eorow + jhi + 1, 0, (size_t)(wid - jhi - 1));
             int q_char = qp[i - 1];
             int32_t pe_col = DP_WORST, pd_col = 0;
             int32_t pv_col = (i <= lbw) ? -(go + i * ge) : DP_WORST;
-            for (int64_t j = 0; j <= wid; j++) v_new[j] = DP_WORST;
-            v_new[0] = (i <= lbw) ? -(go + i * ge) : pv[0];
+            // Row value maintenance is band-local: the next row only reads
+            // positions [jlo'-1, jhi'] (plus column 0), all written here.
+            vnp[0] = (i <= lbw) ? -(go + i * ge) : pvp[0];
+            if (jlo - 1 >= 1 && jlo - 1 <= wid) vnp[jlo - 1] = DP_WORST;
+            if (jhi + 1 >= 0 && jhi + 1 <= wid) vnp[jhi + 1] = DP_WORST;
             for (int64_t j = jlo; j <= jhi; j++) {
-                int32_t v = pv[j - 1];
+                int32_t v = pvp[j - 1];
                 int r_char = rp[j - 1];
                 int8_t opcode = (q_char == r_char) ? OP_M : OP_R;
                 int32_t g = (q_char == r_char) ? v + ms : v - rc;
@@ -1175,24 +1284,25 @@ int yt_anchored_forward(const uint8_t* q, const int32_t* qlens,
                 if (pe_col > g) { v1 = pe_col; opcode = OP_D;
                                   cell_idc = pd_col; }
                 else v1 = g;
-                int32_t cf = pf[j] - ge;
-                int32_t nf = pv[j] - (go + ge);
+                int32_t cf = pfp[j] - ge;
+                int32_t nf = pvp[j] - (go + ge);
                 int32_t f, ii;
-                if (cf >= nf && pi[j] + 1 <= max_gap) {
-                    f = cf; ii = pi[j] + 1;
+                if (cf >= nf && pip[j] + 1 <= max_gap) {
+                    f = cf; ii = pip[j] + 1;
                 } else { f = nf; ii = 1; }
                 int32_t v2;
                 if (f > v1) { v2 = f; opcode = OP_I; cell_idc = ii; }
                 else v2 = v1;
-                pf[j] = f;
-                pi[j] = ii;
+                pfp[j] = f;
+                pip[j] = ii;
                 eorow[j] = opcode;
-                idrow[j] = cell_idc;
-                v_new[j] = v2;
-                if (i == qlen && j == rlen) score[kk] = v2;
+                if (opcode >= OP_I) idrow[j] = cell_idc;
+                vnp[j] = v2;
                 pv_col = v2;
             }
-            for (int64_t j = 0; j <= wid; j++) pv[j] = v_new[j];
+            if (i == qlen && rlen >= jlo && rlen <= jhi)
+                score[kk] = vnp[rlen];
+            std::swap(pvp, vnp);
         }
     }
     return 0;
