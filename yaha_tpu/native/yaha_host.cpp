@@ -790,32 +790,66 @@ int64_t yt_seed_to_clumps(
     };
 
     double _t0 = _now_s();
-    int64_t h = 0;
-    int64_t good = 0;             // clean codes accumulated
-    int64_t total_hits = 0;
-    for (int64_t p = 0; p < q_len; p++) {
-        uint8_t c = codes[p];
-        if (c > 3) { good = 0; h = 0; continue; }
-        h = ((h << 2) | c) & mask;
-        if (++good < word_len) continue;
-        int64_t qo = p - word_len + 1;
-        int64_t cnt = (int64_t)so[h + 1] - (int64_t)so[h];
-        if (cnt <= 0 || cnt > max_hits) continue;
-        total_hits += cnt;
-        int64_t off = so[h];
-        bool any_ok = false;
-        for (int64_t j = off; j < off + cnt; j++) {
-            int64_t ro = roa[j];
-            if (ro >= qo) any_ok = true;
-            push_hit((ro - qo) & M32, qo);
+    // Three passes so the SO and ROA random accesses (the memory-latency
+    // wall of the seed phase) are software-prefetched ahead:
+    //   A: rolling hash -> per-window hash codes
+    //   B: SO lookups (prefetch distance 16) -> (qo, off, cnt) runs
+    //   C: ROA gathers (prefetch distance 4 runs) -> fragment grouper
+    static thread_local std::vector<int32_t> win_h;
+    static thread_local std::vector<int32_t> run_qo;
+    static thread_local std::vector<int64_t> run_off;
+    static thread_local std::vector<int32_t> run_cnt;
+    win_h.assign((size_t)n_win, -1);
+    run_qo.clear(); run_off.clear(); run_cnt.clear();
+    {
+        int64_t h = 0;
+        int64_t good = 0;             // clean codes accumulated
+        for (int64_t p = 0; p < q_len; p++) {
+            uint8_t c = codes[p];
+            if (c > 3) { good = 0; h = 0; continue; }
+            h = ((h << 2) | c) & mask;
+            if (++good < word_len) continue;
+            win_h[(size_t)(p - word_len + 1)] = (int32_t)h;
         }
-        if (!any_ok) {
-            // All-wrapped run: the reference heap pre-seed reads past the
-            // run into the next k-mer's ROA until one entry >= qo.
-            for (int64_t j = off + cnt; j < roa_len; j++) {
+    }
+    int64_t total_hits = 0;
+    {
+        const int64_t PD = 16;
+        for (int64_t i = 0; i < n_win; i++) {
+            if (i + PD < n_win && win_h[(size_t)(i + PD)] >= 0)
+                __builtin_prefetch(&so[win_h[(size_t)(i + PD)]]);
+            int32_t h = win_h[(size_t)i];
+            if (h < 0) continue;
+            int64_t cnt = (int64_t)so[h + 1] - (int64_t)so[h];
+            if (cnt <= 0 || cnt > max_hits) continue;
+            total_hits += cnt;
+            run_qo.push_back((int32_t)i);
+            run_off.push_back((int64_t)so[h]);
+            run_cnt.push_back((int32_t)cnt);
+        }
+    }
+    {
+        const size_t PD = 4;
+        for (size_t t = 0; t < run_qo.size(); t++) {
+            if (t + PD < run_qo.size())
+                __builtin_prefetch(&roa[run_off[t + PD]]);
+            int64_t qo = run_qo[t];
+            int64_t off = run_off[t];
+            int64_t cnt = run_cnt[t];
+            bool any_ok = false;
+            for (int64_t j = off; j < off + cnt; j++) {
                 int64_t ro = roa[j];
+                if (ro >= qo) any_ok = true;
                 push_hit((ro - qo) & M32, qo);
-                if (ro >= qo) break;
+            }
+            if (!any_ok) {
+                // All-wrapped run: the reference heap pre-seed reads past
+                // the run into the next k-mer's ROA until one entry >= qo.
+                for (int64_t j = off + cnt; j < roa_len; j++) {
+                    int64_t ro = roa[j];
+                    push_hit((ro - qo) & M32, qo);
+                    if (ro >= qo) break;
+                }
             }
         }
     }

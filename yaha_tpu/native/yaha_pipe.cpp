@@ -427,11 +427,119 @@ static int64_t ext_dp(State& st, const uint8_t* q, int64_t qlen,
     return score;
 }
 
+// Small-problem anchored DP on stack arrays (bit-exact twin of
+// yt_anchored_forward + traceback for qlen,rlen <= 24).  Gap-fill
+// problems are dominated by scattered 1-10bp substitution/indel gaps;
+// the generic path's scratch machinery costs more than the DP itself.
+static int64_t anchored_dp_small(const Params& aa, const uint8_t* q,
+                                 int64_t qlen, const uint8_t* r,
+                                 int64_t rlen, int64_t lbw, int64_t rbw,
+                                 EOL& items) {
+    constexpr int64_t N = 25;
+    const int64_t wid = rlen + 1;
+    int8_t eo[N * N];
+    int8_t idc[N * N];
+    int32_t pvb[N + 1], pfb[N + 1], pib[N + 1], vnb[N + 1];
+    const int32_t WORST = -(0x7FFFFF00);
+    const int32_t go = (int32_t)aa.go_cost, ge = (int32_t)aa.ge_cost;
+    const int32_t rc = (int32_t)aa.r_cost, ms = (int32_t)aa.m_score;
+    const int64_t max_gap = aa.max_gap, max_intron = aa.max_intron;
+    int32_t score = 0;
+    for (int64_t j = 0; j <= wid; j++) {
+        if (j >= 1 && j <= rbw && j <= rlen && j < wid) {
+            pvb[j] = -(go + (int32_t)j * ge);
+            eo[j] = OP_D;
+            idc[j] = (int8_t)j;
+        } else {
+            pvb[j] = (j == 0) ? 0 : WORST;
+            if (j < wid) { eo[j] = OP_U; idc[j] = 0; }
+        }
+        pfb[j] = WORST;
+        pib[j] = 0;
+    }
+    int32_t* pvp = pvb;
+    int32_t* vnp = vnb;
+    for (int64_t i = 1; i <= qlen; i++) {
+        int8_t* eorow = eo + i * wid;
+        int8_t* idrow = idc + i * wid;
+        if (i <= lbw) { eorow[0] = OP_I; idrow[0] = (int8_t)i; }
+        else { eorow[0] = OP_U; idrow[0] = 0; }
+        int64_t jlo = i - lbw; if (jlo < 1) jlo = 1;
+        int64_t jhi = i + rbw; if (jhi > rlen) jhi = rlen;
+        for (int64_t j = 1; j < jlo && j < wid; j++) eorow[j] = OP_U;
+        for (int64_t j = jhi + 1; j < wid; j++) eorow[j] = OP_U;
+        int q_char = q[i - 1];
+        int32_t pe_col = WORST, pd_col = 0;
+        int32_t pv_col = (i <= lbw) ? -(go + (int32_t)i * ge) : WORST;
+        vnp[0] = (i <= lbw) ? -(go + (int32_t)i * ge) : pvp[0];
+        if (jlo - 1 >= 1) vnp[jlo - 1] = WORST;
+        if (jhi + 1 <= wid) vnp[jhi + 1] = WORST;
+        for (int64_t j = jlo; j <= jhi; j++) {
+            int32_t v = pvp[j - 1];
+            int r_char = r[j - 1];
+            int8_t opcode = (q_char == r_char) ? OP_M : OP_R;
+            int32_t g = (q_char == r_char) ? v + ms : v - rc;
+            int32_t cell_idc = 0;
+            int32_t ce = pe_col - ge;
+            int32_t ne = pv_col - (go + ge);
+            if (ce >= ne && pd_col + 1 <= max_intron) {
+                pe_col = ce; pd_col += 1;
+            } else { pe_col = ne; pd_col = 1; }
+            int32_t v1;
+            if (pe_col > g) { v1 = pe_col; opcode = OP_D;
+                              cell_idc = pd_col; }
+            else v1 = g;
+            int32_t cf = pfb[j] - ge;
+            int32_t nf = pvp[j] - (go + ge);
+            int32_t f, ii;
+            if (cf >= nf && pib[j] + 1 <= max_gap) {
+                f = cf; ii = pib[j] + 1;
+            } else { f = nf; ii = 1; }
+            int32_t v2;
+            if (f > v1) { v2 = f; opcode = OP_I; cell_idc = (int32_t)ii; }
+            else v2 = v1;
+            pfb[j] = f;
+            pib[j] = ii;
+            eorow[j] = opcode;
+            if (opcode >= OP_I) idrow[j] = (int8_t)cell_idc;
+            vnp[j] = v2;
+            pv_col = v2;
+        }
+        if (i == qlen && rlen >= jlo && rlen <= jhi) score = vnp[rlen];
+        std::swap(pvp, vnp);
+    }
+    // Backtrack (traceback_anchored, full coordinates).
+    int64_t x = rlen, y = qlen;
+    items.clear();
+    int prev = eo[y * wid + x];
+    int64_t op_len = 0;
+    for (;;) {
+        int code = eo[y * wid + x];
+        if (code == OP_U) break;
+        int64_t length = idc[y * wid + x];
+        if (code == OP_D) x -= length;
+        else if (code == OP_I) y -= length;
+        else { x -= 1; y -= 1; length = 1; }
+        if (prev != code) {
+            items.push_back({kOpChars[prev], op_len});
+            prev = code;
+            op_len = length;
+        } else {
+            op_len += length;
+        }
+    }
+    items.push_back({kOpChars[prev], op_len});
+    std::reverse(items.begin(), items.end());
+    return score;
+}
+
 // Anchored (gap-fill) DP + backtrack (traceback_anchored).
 static int64_t anchored_dp(State& st, const uint8_t* q, int64_t qlen,
                            const uint8_t* r, int64_t rlen, int64_t lbw,
                            int64_t rbw, EOL& items) {
     const Params& aa = *st.aa;
+    if (qlen <= 24 && rlen <= 24)
+        return anchored_dp_small(aa, q, qlen, r, rlen, lbw, rbw, items);
     size_t need = (size_t)((qlen + 1) * (rlen + 1));
     if (st.dp_eo.size() < need) st.dp_eo.resize(need);
     if (st.dp_idc.size() < need) st.dp_idc.resize(need);
