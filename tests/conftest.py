@@ -16,9 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Build the native host library on first use (gitignored binary).
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SO = os.path.join(_REPO, "yaha_tpu", "native", "libyaha_host.so")
-_SRC = os.path.join(_REPO, "yaha_tpu", "native", "yaha_host.cpp")
+_SRCS = [os.path.join(_REPO, "yaha_tpu", "native", f)
+         for f in ("yaha_host.cpp", "yaha_pipe.cpp")]
 if (not os.path.exists(_SO) or
-        os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        os.path.getmtime(_SO) < max(os.path.getmtime(s) for s in _SRCS)):
     import subprocess
     subprocess.run(["bash", os.path.join(_REPO, "tools", "build_native.sh")],
                    capture_output=True)

@@ -472,6 +472,10 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
 
     backend = {"batch": "auto", "batch-numpy": "numpy",
                "batch-xla": "xla", "batch-pallas": "pallas"}[engine]
+    # The jax engines run the seed->fragment->chain front end on device
+    # (models/frontend.py); the host engines keep the native front end.
+    frontend = ("device" if engine in ("batch-xla", "batch-pallas")
+                else "host")
     batch_size = getattr(aa, "batch_size", 256)
     aa.fastq = qdata[:1] == b"@"
     records = list(fasta.read_queries(qdata, aa))
@@ -494,7 +498,8 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
         mode = "a"
         print("Resuming at read %d." % start_read, file=sys.stderr)
     timers = StageTimers()
-    aligner = BatchAligner(aa, genome, index, backend=backend)
+    aligner = BatchAligner(aa, genome, index, backend=backend,
+                           frontend=frontend)
     out = (sys.stdout if aa.ofile_name in ("stdout", "-")
            else open(aa.ofile_name, mode))
     pool = None

@@ -65,7 +65,7 @@ class _ExtProblem:
 class BatchAligner:
     """Aligns batches of reads; DP phases run through batched kernels."""
 
-    def __init__(self, aa, genome, index, backend="auto"):
+    def __init__(self, aa, genome, index, backend="auto", frontend="host"):
         self.aa = aa
         self.genome = genome
         self.index = index
@@ -73,6 +73,10 @@ class BatchAligner:
             from ..native import host
             backend = "native" if host.available() else "numpy"
         self.backend = backend
+        self.frontend = None
+        if frontend == "device":
+            from .frontend import DeviceFrontEnd
+            self.frontend = DeviceFrontEnd(aa, index)
 
     # ----- phase A: gap fill -----
 
@@ -392,11 +396,16 @@ class BatchAligner:
         for rec in records:
             qs = QueryState(aa, self.genome, self.index)
             qs.set_query(rec)
-            for rev in (False, True):
-                qs.reversed = rev
-                codes = qs.reverse_codes if rev else qs.forward_codes
-                process_strand(aa, qs, self.index, codes)
             states.append(qs)
+        if self.frontend is not None:
+            # Device seed->fragment->chain (models/frontend.py).
+            self.frontend.process_batch(states)
+        else:
+            for qs in states:
+                for rev in (False, True):
+                    qs.reversed = rev
+                    codes = qs.reverse_codes if rev else qs.forward_codes
+                    process_strand(aa, qs, self.index, codes)
 
         # Phase A across the whole batch.
         gap_problems = []

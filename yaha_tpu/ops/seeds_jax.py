@@ -33,14 +33,16 @@ def batched_seed_hashes(codes, lengths, *, word_len):
     clean[b, p] is True when window p is inside the read and contains no
     non-ACGT code (the reference's skip loop, Query.c:371-387).
     """
+    # int32 throughout: hashes fit 2*wordLen <= 30 bits (Main.c caps
+    # -L at 15); x64 stays off.
     b, l = codes.shape
     n = l - word_len + 1
-    c = codes.astype(jnp.int64)
-    bad = (c > 3).astype(jnp.int64)
-    bad_cum = jnp.concatenate([jnp.zeros((b, 1), jnp.int64),
+    c = codes.astype(jnp.int32)
+    bad = (c > 3).astype(jnp.int32)
+    bad_cum = jnp.concatenate([jnp.zeros((b, 1), jnp.int32),
                                jnp.cumsum(bad, axis=1)], axis=1)
     clean = (bad_cum[:, word_len:] - bad_cum[:, :-word_len]) == 0
-    h = jnp.zeros((b, n), jnp.int64)
+    h = jnp.zeros((b, n), jnp.int32)
     for i in range(word_len):
         h = (h << 2) | c[:, i:i + n]
     pos = jnp.arange(n)[None, :]
@@ -55,6 +57,79 @@ def seed_counts(hashes, clean, so):
     so = so.astype(jnp.int64)
     counts = so[hashes + 1] - so[hashes]
     return jnp.where(clean, counts, 0), jnp.where(clean, so[hashes], 0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_hits", "capacity"))
+def expand_sort_hits_device(hashes, clean, so, roa, *, max_hits, capacity):
+    """Fully on-device hit expansion + (diag, qo) sort for a strand batch.
+
+    The device replacement for the reference seed loop + heap merge
+    (Query.c:361-412, QueryMatch.c:52-121): SO gather -> ragged ROA run
+    expansion into a fixed [B, C] hit buffer (searchsorted over the
+    kept-count prefix sums assigns each slot its window) -> two-key
+    lexicographic sort on (diag uint32, qo) via lax.sort.
+
+    hashes/clean: [B, N] from batched_seed_hashes; so/roa: device uint32.
+    Returns dict with diag uint32 [B, C], qo int32 [B, C], total [B],
+    overflow [B] (hits exceed capacity -> host fallback) and allwrapped
+    [B] (some window's run is entirely ro < qo: the reference heap
+    pre-seed then reads past the run -- the phantom-hit quirk,
+    QueryMatch.c:57-69 -- which is host-emulated, so those reads fall
+    back too).
+    """
+    b, n = hashes.shape
+    so_lo = so[hashes]
+    cnt_u = so[hashes + 1] - so_lo            # uint32, wrap-safe
+    counts = cnt_u.astype(jnp.int32)
+    kept_mask = clean & (counts > 0) & (counts <= max_hits)
+    kept = jnp.where(kept_mask, counts, 0)
+    cum = jnp.cumsum(kept, axis=1)
+    total = cum[:, -1]
+    overflow = total > capacity
+
+    t = jnp.broadcast_to(jnp.arange(capacity, dtype=jnp.int32)[None, :],
+                         (b, capacity))
+    win = jax.vmap(
+        lambda c, tt: jnp.searchsorted(c, tt, side="right"))(cum, t)
+    win_c = jnp.minimum(win, n - 1)
+    base = jnp.where(win_c > 0,
+                     jnp.take_along_axis(cum, jnp.maximum(win_c - 1, 0),
+                                         axis=1), 0)
+    rank = (t - base).astype(jnp.uint32)
+    off = jnp.take_along_axis(jnp.where(kept_mask, so_lo, 0), win_c,
+                              axis=1)
+    valid = t < total[:, None]
+    idx = jnp.where(valid, (off + rank).astype(jnp.int32), 0)
+    ro = roa[idx]                              # uint32
+    qo = win_c.astype(jnp.int32)
+    diag = ro - qo.astype(jnp.uint32)          # uint32 wrap (fragDiag)
+
+    # Phantom-quirk detection: any kept window whose whole run wraps.
+    ok = jnp.where(valid & (ro >= qo.astype(jnp.uint32)), 1, 0)
+    seg_any = jax.vmap(
+        lambda s, d: jax.ops.segment_max(d, s, num_segments=n,
+                                         indices_are_sorted=True))(win_c,
+                                                                   ok)
+    allwrapped = jnp.any(kept_mask & (seg_any == 0), axis=1)
+
+    diag_s = jnp.where(valid, diag, jnp.uint32(0xFFFFFFFF))
+    qo_s = jnp.where(valid, qo, jnp.int32(0x7FFFFFFF))
+    diag_sorted, qo_sorted = jax.lax.sort((diag_s, qo_s), num_keys=2,
+                                          dimension=1)
+    return {"diag": diag_sorted, "qo": qo_sorted, "total": total,
+            "overflow": overflow, "allwrapped": allwrapped}
+
+
+@jax.jit
+def strand_hit_totals(hashes, clean, so, max_hits):
+    """Per-strand kept-hit totals (for capacity bucket selection) and raw
+    seed-match totals (the seedMatches stat, Query.c:395-400)."""
+    so_lo = so[hashes]
+    counts = (so[hashes + 1] - so_lo).astype(jnp.int32)
+    kept_mask = clean & (counts > 0) & (counts <= max_hits)
+    seed_mask = clean & (counts > 0) & (counts <= max_hits)
+    kept = jnp.where(kept_mask, counts, 0)
+    return kept.sum(axis=1), jnp.where(seed_mask, counts, 0).sum(axis=1)
 
 
 def expand_and_sort_hits(counts, so_offsets, roa, max_hits, capacity):
