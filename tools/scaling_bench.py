@@ -1,17 +1,20 @@
 #!/usr/bin/env python3
-"""Reads/s scaling-efficiency harness over mesh sizes.
+"""Reads/s scaling-efficiency harness over mesh sizes — FULL pipeline.
 
-Runs the data-parallel extension step (the dominant device work) over
-meshes of 1/2/4/8 virtual devices and reports throughput + efficiency vs
-linear scaling.  On real multi-chip slices the same harness measures ICI
-scaling; with one chip (or host CPU devices) it validates that the sharded
-program itself adds no overhead beyond collectives.
+Runs the complete aligner (device seed->fragment->chain front end with a
+hash-range-sharded index, data-sharded DP phases, host OQC/SAM) over
+meshes of 1/2/4/8 devices and reports reads/s + efficiency vs linear
+scaling.  On real multi-chip slices this measures ICI scaling; on virtual
+CPU devices (one host) the devices share the same physical cores, so
+"efficiency" there bounds sharding overhead, not real speedup — the
+physical-core ceiling is documented in BASELINE.md.
 
 Usage:  JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
         XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python tools/scaling_bench.py
+        python tools/scaling_bench.py [--reads 64] [--len 100]
 """
-import functools
+import argparse
+import json
 import os
 import sys
 import time
@@ -22,45 +25,77 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=64)
+    ap.add_argument("--len", dest="read_len", type=int, default=100)
+    ap.add_argument("--word-len", type=int, default=9)
+    args = ap.parse_args()
+
     import jax
-    from yaha_tpu.ops import sw_batch
+    from yaha_tpu.config import AlignmentArgs
+    from yaha_tpu.io import nib2, fasta
+    from yaha_tpu.io.index_io import Index
+    from yaha_tpu.index import build
+    from yaha_tpu.models.aligner import BatchAligner
     from yaha_tpu.parallel import mesh as pmesh
 
     n_avail = len(jax.devices())
-    rng = np.random.default_rng(0)
-    per_dev = 64
-    ql = 64
-    bw2 = 10
-    kw = dict(band_width=5, go=5, ge=2, rc=3, ms=1, max_gap=50,
-              max_intron=50, x_cutoff=25)
-    ext_fn = functools.partial(sw_batch.batched_extension_forward, **kw)
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    seq = bases[rng.integers(0, 4, 200_000)]
+    fa = b">c1\n" + bytes(seq) + b"\n"
+    genome = nib2.load(nib2.compress_fasta_bytes(fa))
+    wl = args.word_len
+    so, roa, tm = build.build_index(genome, wl, 1, 65525)
+    index = Index(word_len=wl, max_hits=65525, total_matches=tm,
+                  starting_offs=so, roa=roa)
+
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    reads = []
+    for k in range(args.reads):
+        pos = int(rng.integers(0, len(seq) - args.read_len - 1))
+        r = bytearray(seq[pos:pos + args.read_len].tobytes())
+        for _ in range(max(1, args.read_len // 50)):
+            p = int(rng.integers(0, len(r)))
+            r[p] = bases[rng.integers(0, 4)]
+        if k % 2:
+            r = bytearray(bytes(r).translate(comp)[::-1])
+        reads.append(b">r%d\n%s\n" % (k, bytes(r)))
+    qdata = b"".join(reads)
+
+    aa = AlignmentArgs()
+    aa.word_len = wl
+    aa.qfile_name = "bench.fa"
+    aa.xfile_name = "bench.X"
+    aa.ofile_name = "out.sam"
+    aa.post_process(True)
+    records = list(fasta.read_queries(qdata, aa))
 
     results = []
+    base_rps = None
     sizes = [s for s in (1, 2, 4, 8) if s <= n_avail]
     for nd in sizes:
-        mesh = pmesh.make_mesh(nd, model_parallel=1)
-        step = jax.jit(pmesh.data_parallel_extension_step(mesh, ext_fn))
-        n = per_dev * nd
-        q = rng.integers(0, 4, (n, ql)).astype(np.uint8)
-        qlens = np.full(n, ql, np.int64)
-        rl = ql + 2 * bw2
-        r = np.zeros((n, rl), np.uint8)
-        r[:, :ql] = q
-        rlens = qlens + bw2
-        out = step(q, qlens, r, rlens)
-        out[0].block_until_ready()
-        reps = 3
-        t0 = time.time()
-        for _ in range(reps):
-            out = step(q, qlens, r, rlens)
-        out[0].block_until_ready()
-        dt = (time.time() - t0) / reps
-        results.append((nd, n / dt))
-    base = results[0][1]
-    print("devices  problems/s  efficiency")
-    for nd, rps in results:
-        eff = rps / (base * nd)
-        print("%7d  %10.0f  %9.0f%%" % (nd, rps, eff * 100))
+        model = 2 if nd >= 2 else 1
+        mesh = pmesh.make_mesh(nd, model_parallel=model)
+        aligner = BatchAligner(aa, genome, index, backend="xla",
+                               frontend="device", mesh=mesh,
+                               n_model=model)
+        out = aligner.align_batch(records)   # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out2 = aligner.align_batch(records)
+            best = min(best, time.perf_counter() - t0)
+        assert out2 == out
+        rps = len(records) / best
+        if base_rps is None:
+            base_rps = rps
+        results.append({
+            "devices": nd, "mesh": {"data": nd // model, "model": model},
+            "reads_per_s": round(rps, 1),
+            "efficiency_vs_1dev": round(rps / (base_rps * nd), 3)})
+    for r in results:
+        print(json.dumps(r))
 
 
 if __name__ == "__main__":

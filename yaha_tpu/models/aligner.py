@@ -65,7 +65,8 @@ class _ExtProblem:
 class BatchAligner:
     """Aligns batches of reads; DP phases run through batched kernels."""
 
-    def __init__(self, aa, genome, index, backend="auto", frontend="host"):
+    def __init__(self, aa, genome, index, backend="auto", frontend="host",
+                 mesh=None, n_model=1):
         self.aa = aa
         self.genome = genome
         self.index = index
@@ -73,10 +74,34 @@ class BatchAligner:
             from ..native import host
             backend = "native" if host.available() else "numpy"
         self.backend = backend
+        self.mesh = mesh
         self.frontend = None
         if frontend == "device":
             from .frontend import DeviceFrontEnd
-            self.frontend = DeviceFrontEnd(aa, index)
+            self.frontend = DeviceFrontEnd(aa, index, mesh=mesh,
+                                           n_model=n_model)
+
+    def _shard_dp(self, arrays):
+        """Pad the DP problem batch to the data-axis size and place it
+        sharded over `data` (DP-1: problems ride the data axis; XLA
+        partitions the batched forward with no code changes)."""
+        if self.mesh is None:
+            return arrays
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        d = self.mesh.shape["data"]
+        n = len(arrays[0])
+        pad = (-n) % d
+        out = []
+        for a in arrays:
+            if pad:
+                a = np.concatenate(
+                    [a, np.repeat(a[-1:], pad, axis=0)], axis=0)
+            spec = P("data") if a.ndim == 1 else P("data", None)
+            out.append(jax.device_put(jnp.asarray(a),
+                                      NamedSharding(self.mesh, spec)))
+        return out
 
     # ----- phase A: gap fill -----
 
@@ -230,9 +255,11 @@ class BatchAligner:
             out = {k2: np.asarray(v)[:n] for k2, v in out.items()}
         else:
             from ..ops import sw_batch
+            sqa, sql, sra, srl, slb, srb = self._shard_dp(
+                (qa, qlens, ra, rlens, lbws, rbws))
             out = sw_batch.batched_anchored_forward(
-                qa, qlens, ra, rlens, lbws, rbws, **kw)
-            out = {k2: np.asarray(v) for k2, v in out.items()}
+                sqa, sql, sra, srl, slb, srb, **kw)
+            out = {k2: np.asarray(v)[:n] for k2, v in out.items()}
         from ..native import host as native_host
         if native_host.available():
             all_items = native_host.traceback_anchored_batch(
@@ -352,9 +379,10 @@ class BatchAligner:
             out = {k2: np.asarray(v)[:n] for k2, v in out.items()}
         else:
             from ..ops import sw_batch
+            sqa, sql, sra, srl = self._shard_dp((qa, qlens, ra, rlens))
             out = sw_batch.batched_extension_forward(
-                qa, qlens, ra, rlens, **kw)
-            out = {k2: np.asarray(v) for k2, v in out.items()}
+                sqa, sql, sra, srl, **kw)
+            out = {k2: np.asarray(v)[:n] for k2, v in out.items()}
         from ..native import host as native_host
         if native_host.available():
             rev = np.array([p.reverse for p in problems], np.uint8)

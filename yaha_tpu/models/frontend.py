@@ -91,15 +91,27 @@ class DeviceFrontEnd:
 
     N_BUCKETS = (16, 64, 256)
 
-    def __init__(self, aa, index):
+    def __init__(self, aa, index, mesh=None, n_model=1):
         import jax.numpy as jnp
         self.aa = aa
         self.index = index
         self.word_len = index.word_len
-        so = index.starting_offs
-        roa = index.roa
-        self.so_dev = jnp.asarray(np.ascontiguousarray(so, np.uint32))
-        self.roa_dev = jnp.asarray(np.ascontiguousarray(roa, np.uint32))
+        self.mesh = mesh
+        self.sidx = None
+        if mesh is not None:
+            # TP-analog: SO + ROA hash-range sharded across `model`
+            # (parallel/mesh.py ShardedIndex), lookups merged with an
+            # all_gather over ICI.
+            from ..parallel.mesh import ShardedIndex
+            self.sidx = ShardedIndex(index, n_model).place(mesh)
+            self.data_size = mesh.shape["data"]
+        else:
+            so = index.starting_offs
+            roa = index.roa
+            self.so_dev = jnp.asarray(np.ascontiguousarray(so, np.uint32))
+            self.roa_dev = jnp.asarray(
+                np.ascontiguousarray(roa, np.uint32))
+            self.data_size = 1
 
     # ---- stage 1+2: device seed scan and hit expansion ----
 
@@ -107,6 +119,23 @@ class DeviceFrontEnd:
         from ..ops import seeds_jax
         import jax.numpy as jnp
         aa = self.aa
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            import jax
+            sh = NamedSharding(self.mesh, P("data", None))
+            codes_d = jax.device_put(jnp.asarray(codes_pad), sh)
+            lens_d = jax.device_put(
+                jnp.asarray(lengths),
+                NamedSharding(self.mesh, P("data")))
+            hashes, clean = seeds_jax.batched_seed_hashes(
+                codes_d, lens_d, word_len=self.word_len)
+            from ..parallel.mesh import sharded_expand_sort
+            out = sharded_expand_sort(
+                self.mesh, hashes, clean, self.sidx,
+                max_hits=int(aa.max_hits), capacity=1024)
+            seed_totals = np.asarray(out["total"])
+            return ({k: np.asarray(v) for k, v in out.items()},
+                    seed_totals)
         hashes, clean = seeds_jax.batched_seed_hashes(
             jnp.asarray(codes_pad), jnp.asarray(lengths),
             word_len=self.word_len)

@@ -103,3 +103,139 @@ def data_parallel_extension_step(mesh: Mesh, ext_fn):
         in_specs=(P("data", None), P("data"), P("data", None), P("data")),
         out_specs=(P("data"), P("data"), P("data"), P()),
         check_rep=False)
+
+
+class ShardedIndex:
+    """Hash-range sharded SO + ROA resident across the `model` axis.
+
+    The TP-analog (SURVEY.md section 2.2): a human-genome index (~4.3 GB
+    SO + ~12 GB ROA at L15) exceeds one chip's HBM, so shard m of M owns
+    hash range [m*per, (m+1)*per) -- its SO rows rebased to LOCAL ROA
+    offsets -- plus exactly the ROA slice those rows address.  Every seed
+    lookup resolves on the owning shard and candidates are merged across
+    `model` with an all_gather (the all-to-all candidate exchange of the
+    survey's index-placement design).  A side effect of sharding: local
+    ROA offsets stay < 2^31 even for a ~3 Gbp genome, so int32 device
+    gathers are safe where a replicated index would overflow.
+    """
+
+    def __init__(self, index, n_model: int):
+        so = np.asarray(index.starting_offs, np.uint32)
+        roa = np.asarray(index.roa, np.uint32)
+        ht = len(so) - 1
+        assert ht % n_model == 0, (ht, n_model)
+        per = ht // n_model
+        so_local = np.zeros((n_model, per + 1), np.uint32)
+        roa_lens = []
+        roa_slices = []
+        for m in range(n_model):
+            lo, hi = m * per, (m + 1) * per
+            base = int(so[lo])
+            so_local[m] = so[lo:hi + 1] - np.uint32(base)
+            sl = roa[base:int(so[hi])]
+            roa_slices.append(sl)
+            roa_lens.append(len(sl))
+        rmax = max(max(roa_lens), 1)
+        roa_sh = np.zeros((n_model, rmax), np.uint32)
+        for m, sl in enumerate(roa_slices):
+            roa_sh[m, :len(sl)] = sl
+        self.n_model = n_model
+        self.per = per
+        self.word_len = index.word_len
+        self.max_hits = index.max_hits
+        self.so_local = so_local          # [M, per+1] local offsets
+        self.roa_sh = roa_sh              # [M, rmax]
+        self.hash_lo = (np.arange(n_model, dtype=np.int32) *
+                        np.int32(per))
+
+    def place(self, mesh: Mesh):
+        """Upload shards with one row per `model` index (replicated over
+        `data`)."""
+        from jax.sharding import NamedSharding
+        sh = NamedSharding(mesh, P("model", None))
+        sh1 = NamedSharding(mesh, P("model"))
+        self.so_dev = jax.device_put(jnp.asarray(self.so_local), sh)
+        self.roa_dev = jax.device_put(jnp.asarray(self.roa_sh), sh)
+        self.lo_dev = jax.device_put(jnp.asarray(self.hash_lo), sh1)
+        return self
+
+
+def sharded_expand_sort(mesh: Mesh, hashes, clean, sidx: ShardedIndex, *,
+                        max_hits: int, capacity: int):
+    """Sharded-index seed lookup + cross-shard candidate merge.
+
+    hashes/clean: [B, N] (B sharded over `data`, replicated over `model`).
+    Each (data, model) device expands the hits whose hash falls in its
+    model shard's range into a [b, C] buffer, all_gathers the per-shard
+    buffers over `model` (ICI), and sorts the merged (diag, qo) list --
+    the device twin of ops/seeds_jax.expand_sort_hits_device with the
+    index distributed.  Returns the same dict, replicated over `model`.
+    """
+    per = sidx.per
+
+    def kernel(h, cl, so, lo, roa):
+        so = so[0]
+        roa = roa[0]
+        lo = lo[0]
+        b, n = h.shape
+        local = h - lo
+        in_rng = (local >= 0) & (local < per)
+        idx_h = jnp.clip(local, 0, per - 1)
+        so_lo = so[idx_h]
+        cnt_u = so[idx_h + 1] - so_lo
+        counts = cnt_u.astype(jnp.int32)
+        kept_mask = cl & in_rng & (counts > 0) & (counts <= max_hits)
+        kept = jnp.where(kept_mask, counts, 0)
+        cum = jnp.cumsum(kept, axis=1)
+        total = cum[:, -1]
+        overflow = total > capacity
+
+        t = jnp.broadcast_to(
+            jnp.arange(capacity, dtype=jnp.int32)[None, :], (b, capacity))
+        win = jax.vmap(
+            lambda c, tt: jnp.searchsorted(c, tt, side="right"))(cum, t)
+        win_c = jnp.minimum(win, n - 1)
+        base = jnp.where(
+            win_c > 0,
+            jnp.take_along_axis(cum, jnp.maximum(win_c - 1, 0), axis=1), 0)
+        rank = (t - base).astype(jnp.uint32)
+        off = jnp.take_along_axis(jnp.where(kept_mask, so_lo, 0), win_c,
+                                  axis=1)
+        valid = t < total[:, None]
+        idx = jnp.where(valid, (off + rank).astype(jnp.int32), 0)
+        ro = roa[idx]
+        qo = win_c.astype(jnp.int32)
+        diag = ro - qo.astype(jnp.uint32)
+
+        ok = jnp.where(valid & (ro >= qo.astype(jnp.uint32)), 1, 0)
+        seg_any = jax.vmap(
+            lambda s, d: jax.ops.segment_max(
+                d, s, num_segments=n, indices_are_sorted=True))(win_c, ok)
+        allwrapped = jnp.any(kept_mask & (seg_any == 0), axis=1)
+
+        diag_m = jnp.where(valid, diag, jnp.uint32(0xFFFFFFFF))
+        qo_m = jnp.where(valid, qo, jnp.int32(0x7FFFFFFF))
+        # Cross-shard candidate exchange: [M, b, C] -> [b, M*C].
+        diag_all = jax.lax.all_gather(diag_m, "model")
+        qo_all = jax.lax.all_gather(qo_m, "model")
+        m = diag_all.shape[0]
+        diag_all = jnp.moveaxis(diag_all, 0, 1).reshape(b, m * capacity)
+        qo_all = jnp.moveaxis(qo_all, 0, 1).reshape(b, m * capacity)
+        diag_s, qo_s = jax.lax.sort((diag_all, qo_all), num_keys=2,
+                                    dimension=1)
+        total = jax.lax.psum(total, "model")
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), "model") > 0
+        allwrapped = jax.lax.psum(allwrapped.astype(jnp.int32),
+                                  "model") > 0
+        return diag_s, qo_s, total, overflow, allwrapped
+
+    diag, qo, total, overflow, allwrapped = shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P("data", None), P("data", None), P("model", None),
+                  P("model"), P("model", None)),
+        out_specs=(P("data", None), P("data", None), P("data"),
+                   P("data"), P("data")),
+        check_rep=False,
+    )(hashes, clean, sidx.so_dev, sidx.lo_dev, sidx.roa_dev)
+    return {"diag": diag, "qo": qo, "total": total, "overflow": overflow,
+            "allwrapped": allwrapped}
