@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SO = os.path.join(_REPO, "yaha_tpu", "native", "libyaha_host.so")
 _SRCS = [os.path.join(_REPO, "yaha_tpu", "native", f)
-         for f in ("yaha_host.cpp", "yaha_pipe.cpp")]
+         for f in ("yaha_host.cpp", "yaha_pipe.cpp", "yaha_index.cpp")]
 if (not os.path.exists(_SO) or
         os.path.getmtime(_SO) < max(os.path.getmtime(s) for s in _SRCS)):
     import subprocess

@@ -11,5 +11,5 @@ FLAGS="-O3 -march=native -funroll-loops"
 if [ -n "$TSAN" ]; then FLAGS="-O1 -g -fsanitize=thread"; fi
 if [ -n "$ASAN" ]; then FLAGS="-O1 -g -fsanitize=address"; fi
 g++ $FLAGS -Wall -shared -fPIC -pthread -o yaha_tpu/native/libyaha_host.so \
-    yaha_tpu/native/yaha_host.cpp yaha_tpu/native/yaha_pipe.cpp
+    yaha_tpu/native/yaha_host.cpp yaha_tpu/native/yaha_pipe.cpp yaha_tpu/native/yaha_index.cpp
 echo "built yaha_tpu/native/libyaha_host.so ($FLAGS)"

@@ -297,10 +297,18 @@ def _do_uncompress(aa):
 def _do_index(aa):
     from .io import nib2, index_io
     from .index import build
+    from .native import host
     with open(aa.gfile_name, "rb") as f:
         genome = nib2.load(f.read())
-    so, roa, tm = build.build_index(genome, aa.word_len, aa.skip_dist,
-                                    aa.max_hits)
+    if host.available():
+        # Threaded native builder (yaha_index.cpp), byte-exact with the
+        # Python builder; -t controls the scan threads.
+        so, roa, tm = host.build_index(
+            genome, aa.word_len, aa.skip_dist, aa.max_hits,
+            n_threads=max(aa.num_threads, 4))
+    else:
+        so, roa, tm = build.build_index(genome, aa.word_len, aa.skip_dist,
+                                        aa.max_hits)
     if aa.verbose:
         build.print_count_statistics(so, aa.word_len, file=sys.stderr)
     index_io.write_index(aa.xfile_name, aa.word_len, aa.max_hits, so, roa, tm)
@@ -333,11 +341,14 @@ def _do_query(aa):
               "used." % (index.max_hits, aa.max_hits, index.max_hits),
               file=sys.stderr)
         aa.max_hits = index.max_hits
+    if engine == "native":
+        # Streaming input: the native engine reads the query file in
+        # bounded chunks (constant RSS for multi-GB inputs).
+        _run_native_engine(aa, genome, index)
+        return
     with open(aa.qfile_name, "rb") as f:
         qdata = f.read()
-    if engine == "native":
-        _run_native_engine(aa, genome, index, qdata)
-    elif engine != "oracle":
+    if engine != "oracle":
         _run_batch_engine(aa, genome, index, qdata, engine)
     else:
         from .core import pipeline
@@ -348,12 +359,72 @@ def _do_query(aa):
                 pipeline.run_query_file(aa, genome, index, qdata, out)
 
 
-def _run_native_engine(aa, genome, index, qdata):
+def _find_chunk_cut(data, fastq):
+    """Byte offset of the last record start in `data`, or -1.
+
+    FASTA: the last "\n>".  FASTQ: the last "\n@" that opens a plausible
+    record (a line starting with '+' follows the id line within a few
+    lines) -- consistent with readNextQuery's own '@'-after-newline
+    terminator (Query.c:177-198), which already treats such positions as
+    record boundaries.
+    """
+    if not fastq:
+        p = data.rfind(b"\n>")
+        return p + 1 if p >= 0 else -1
+    pos = len(data)
+    for _ in range(16):
+        p = data.rfind(b"\n@", 0, pos)
+        if p < 0:
+            return -1
+        start = p + 1
+        nl1 = data.find(b"\n", start)
+        ok = False
+        if nl1 >= 0:
+            q = nl1 + 1
+            for _ in range(64):
+                if data[q:q + 1] == b"+":
+                    ok = True
+                    break
+                e = data.find(b"\n", q)
+                if e < 0:
+                    break
+                q = e + 1
+        if ok:
+            return start
+        pos = p
+    return -1
+
+
+def _iter_query_chunks(path, block_size=64 << 20):
+    """Stream (chunk_bytes, fastq) pieces that start at record boundaries;
+    memory is bounded by block_size + one record (the reference streams
+    per-read under flockfile, Query.c:102-228; this is the batched
+    analog)."""
+    with open(path, "rb") as f:
+        first = f.read(1)
+        fastq = first == b"@"
+        carry = first + f.read(block_size)
+        while True:
+            nxt = f.read(block_size)
+            if not nxt:
+                if carry:
+                    yield carry, fastq
+                return
+            data = carry + nxt
+            cut = _find_chunk_cut(data, fastq)
+            if cut <= 0:
+                carry = data       # no boundary yet: grow
+                continue
+            yield data[:cut], fastq
+            carry = data[cut:]
+
+
+def _run_native_engine(aa, genome, index):
     """Full native per-read pipeline (yt_align_batch): the product fast
-    path.  Reads are parsed once natively; batches go through the C++
-    pipeline (internal -t threads); output is emitted per batch with the
-    same writer-thread overlap and resume-cursor semantics as the batch
-    engines."""
+    path.  The query file streams through bounded chunks; each chunk is
+    parsed natively and aligned through the C++ pipeline (internal -t
+    threads); output is emitted per batch with writer-thread overlap and
+    resume-cursor semantics."""
     import os
     import queue
     import threading
@@ -366,6 +437,8 @@ def _run_native_engine(aa, genome, index, qdata):
               "(tools/build_native.sh); falling back to oracle.",
               file=sys.stderr)
         from .core import pipeline
+        with open(aa.qfile_name, "rb") as f:
+            qdata = f.read()
         if aa.ofile_name in ("stdout", "-"):
             pipeline.run_query_file(aa, genome, index, qdata, sys.stdout)
         else:
@@ -373,10 +446,8 @@ def _run_native_engine(aa, genome, index, qdata):
                 pipeline.run_query_file(aa, genome, index, qdata, out)
         return
 
-    aa.fastq = qdata[:1] == b"@"
-    pr = host.parse_queries_native(qdata, aa.fastq, aa.max_query_length,
-                                   aa.word_len)
-    n_reads = pr.n
+    with open(aa.qfile_name, "rb") as f:
+        aa.fastq = f.read(1) == b"@"
     batch_size = getattr(aa, "batch_size", 0) or 8192
     cursor_path = aa.ofile_name + ".cursor"
     start_read = 0
@@ -419,20 +490,36 @@ def _run_native_engine(aa, genome, index, qdata):
 
     writer = threading.Thread(target=_writer, daemon=True)
     writer.start()
+    done = 0
     try:
         if start_read == 0:
             emit_q.put((sam.file_header(aa, genome).encode("latin-1"),
                         None))
-        for lo in range(start_read, n_reads, batch_size):
-            hi = min(lo + batch_size, n_reads)
-            with timers.stage("align batch"):
-                text = host.align_batch_native(
-                    pr, lo, hi, genome, index, aa,
-                    n_threads=aa.num_threads)
-            if emit_err:
-                raise emit_err[0]
-            n = hi
-            emit_q.put((text, n))
+        for chunk, fastq in _iter_query_chunks(aa.qfile_name):
+            with timers.stage("parse"):
+                pr = host.parse_queries_native(
+                    chunk, fastq, aa.max_query_length, aa.word_len)
+            base = done
+            done += pr.n
+            for lo in range(0, pr.n, batch_size):
+                hi = min(lo + batch_size, pr.n)
+                if base + hi <= start_read:
+                    continue   # resume: whole batch already emitted
+                # Partial overlap (e.g. a different --batch-size than the
+                # interrupted run): start inside the batch.
+                lo = max(lo, start_read - base)
+                with timers.stage("align batch"):
+                    text = host.align_batch_native(
+                        pr, lo, hi, genome, index, aa,
+                        n_threads=aa.num_threads)
+                if emit_err:
+                    raise emit_err[0]
+                n = base + hi
+                emit_q.put((text, n))
+            if pr.stopped:
+                # Reference semantics: a zero-length record ends the run
+                # (Query.c:306).
+                break
         emit_q.put(None)
         writer.join()
         if emit_err:
@@ -440,10 +527,10 @@ def _run_native_engine(aa, genome, index, qdata):
         if aa.verbose:
             timers.print_report()
             total_s = sum(timers.totals.values())
-            done = n - start_read
-            if total_s > 0 and done > 0:
+            emitted = n - start_read
+            if total_s > 0 and emitted > 0:
                 print("Processed %d reads (%.0f reads/s)." %
-                      (done, done / total_s), file=sys.stderr)
+                      (emitted, emitted / total_s), file=sys.stderr)
     finally:
         if writer.is_alive():
             try:
@@ -453,7 +540,7 @@ def _run_native_engine(aa, genome, index, qdata):
             writer.join(timeout=30)
         if out is not sys.stdout.buffer:
             out.close()
-            if os.path.exists(cursor_path) and n >= n_reads:
+            if os.path.exists(cursor_path) and n >= done:
                 os.unlink(cursor_path)
 
 

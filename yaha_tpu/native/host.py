@@ -43,7 +43,7 @@ def _load():
         ctypes.c_int64,
         ctypes.POINTER(c_u8p), ctypes.POINTER(c_i64p),
         ctypes.POINTER(c_u8p), ctypes.POINTER(c_i64p),
-        ctypes.POINTER(c_u8p), c_i64p]
+        ctypes.POINTER(c_u8p), c_i64p, c_i64p]
     lib.yt_format_cigar_md.argtypes = [
         c_u8p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, c_u8p,
         ctypes.c_int64, ctypes.POINTER(ctypes.c_char_p),
@@ -96,10 +96,12 @@ def parse_queries(data: bytes, fastq: bool, max_query_len: int,
     seq_offs = c_i64p()
     quals = c_u8p()
     n_reads = ctypes.c_int64()
+    stopped = ctypes.c_int64()
     rc = lib.yt_parse_queries(
         _as_u8p(arr), len(arr), int(fastq), max_query_len, word_len,
         ctypes.byref(ids), ctypes.byref(id_offs), ctypes.byref(seqs),
-        ctypes.byref(seq_offs), ctypes.byref(quals), ctypes.byref(n_reads))
+        ctypes.byref(seq_offs), ctypes.byref(quals), ctypes.byref(n_reads),
+        ctypes.byref(stopped))
     assert rc == 0
     n = n_reads.value
     try:
@@ -138,10 +140,12 @@ def parse_queries_raw(data: bytes, fastq: bool, max_query_len: int,
     seq_offs = c_i64p()
     quals = c_u8p()
     n_reads = ctypes.c_int64()
+    stopped = ctypes.c_int64()
     rc = lib.yt_parse_queries(
         _as_u8p(arr), len(arr), int(fastq), max_query_len, word_len,
         ctypes.byref(ids), ctypes.byref(id_offs), ctypes.byref(seqs),
-        ctypes.byref(seq_offs), ctypes.byref(quals), ctypes.byref(n_reads))
+        ctypes.byref(seq_offs), ctypes.byref(quals), ctypes.byref(n_reads),
+        ctypes.byref(stopped))
     assert rc == 0
     n = int(n_reads.value)
     try:
@@ -168,7 +172,7 @@ class ParsedReads:
     frees them on destruction."""
 
     __slots__ = ("ids", "id_offs", "seqs", "seq_offs", "quals", "n",
-                 "_lib")
+                 "stopped", "_lib")
 
     def __del__(self):
         lib = getattr(self, "_lib", None)
@@ -194,14 +198,17 @@ def parse_queries_native(data: bytes, fastq: bool, max_query_len: int,
     pr.seq_offs = c_i64p()
     pr.quals = c_u8p()
     n_reads = ctypes.c_int64()
+    stopped = ctypes.c_int64()
     rc = lib.yt_parse_queries(
         ctypes.cast(ctypes.c_char_p(data), c_u8p), len(data), int(fastq),
         max_query_len, word_len,
         ctypes.byref(pr.ids), ctypes.byref(pr.id_offs),
         ctypes.byref(pr.seqs), ctypes.byref(pr.seq_offs),
-        ctypes.byref(pr.quals), ctypes.byref(n_reads))
+        ctypes.byref(pr.quals), ctypes.byref(n_reads),
+        ctypes.byref(stopped))
     assert rc == 0
     pr.n = int(n_reads.value)
+    pr.stopped = bool(stopped.value)
     return pr
 
 
@@ -354,6 +361,45 @@ def align_batch_full(seq_arr, seq_off, id_arr, id_off, qual_arr,
         return ctypes.string_at(out_text, out_len.value)
     finally:
         lib.yt_free(out_text)
+
+
+def build_index(genome, word_len, skip_dist, max_hits, n_threads=4):
+    """Threaded native index build (yt_build_index); byte-exact with
+    index/build.build_index.  Returns (so uint32, roa uint32, total)."""
+    lib = _load()
+    import ctypes as ct
+    if not hasattr(lib, "_bi_sig"):
+        u32p = ct.POINTER(ct.c_uint32)
+        lib.yt_build_index.argtypes = [
+            ct.POINTER(ct.c_uint8), ct.c_int64,
+            ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64), ct.c_int64,
+            ct.c_int64, ct.c_int64, ct.c_int64, ct.c_int64,
+            ct.POINTER(u32p), ct.POINTER(u32p), ct.POINTER(ct.c_int64)]
+        lib._bi_sig = True
+    codes = np.ascontiguousarray(genome.codes, np.uint8)
+    starts = np.ascontiguousarray(genome.starting_offsets, np.int64)
+    lens = np.ascontiguousarray(genome.lengths, np.int64)
+    u32p = ct.POINTER(ct.c_uint32)
+    so_p = u32p()
+    roa_p = u32p()
+    total = ct.c_int64()
+    rc = lib.yt_build_index(
+        _as_u8p(codes), len(codes),
+        starts.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        lens.ctypes.data_as(ct.POINTER(ct.c_int64)), genome.n_seqs,
+        word_len, skip_dist, max_hits, n_threads,
+        ct.byref(so_p), ct.byref(roa_p), ct.byref(total))
+    assert rc == 0
+    ht = 1 << (2 * word_len)
+    try:
+        so = np.ctypeslib.as_array(so_p, shape=(ht + 1,)).copy()
+        roa = np.ctypeslib.as_array(
+            roa_p, shape=(max(int(total.value), 1),))[
+                :int(total.value)].copy()
+    finally:
+        lib.yt_free(so_p)
+        lib.yt_free(roa_p)
+    return so, roa, int(total.value)
 
 
 def format_cigar_md(ops, lens, genome_codes: np.ndarray,

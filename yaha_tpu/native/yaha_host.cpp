@@ -148,7 +148,9 @@ int yt_parse_queries(const uint8_t* in, int64_t n, int fastq,
                      int64_t max_query_len, int64_t word_len,
                      uint8_t** ids, int64_t** id_offs,
                      uint8_t** seqs, int64_t** seq_offs,
-                     uint8_t** quals, int64_t* n_reads) {
+                     uint8_t** quals, int64_t* n_reads,
+                     int64_t* stopped) {
+    *stopped = 0;
     std::vector<uint8_t> id_buf, seq_buf, qual_buf;
     std::vector<int64_t> id_off{0}, seq_off{0};
     const int MAX_ID = 200;
@@ -217,10 +219,12 @@ int yt_parse_queries(const uint8_t* in, int64_t n, int fastq,
             continue;
         }
         if (seq_len == 0) {
-            // Reference semantics: a zero-length record ends processing.
+            // Reference semantics: a zero-length record ends processing
+            // (Query.c:306); `stopped` lets a chunked caller stop too.
             id_buf.resize(id_base);
             seq_buf.resize(seq_base);
             qual_buf.resize(qual_base);
+            *stopped = 1;
             break;
         }
         if (seq_len < word_len) {
