@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
-"""Benchmark: banded-SW extension throughput on the flagship Pallas kernel.
+"""Benchmark: flagship Pallas kernel + e2e aligner throughput.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The headline metric is the banded-SW extension kernel (the speed-of-light
+component); "extra" carries the anchored (gap-fill) kernel and the
+end-to-end native-engine reads/s vs the reference binary when it exists.
 
 Baseline: the reference yaha 0.1.83 banded X-dropoff extension DP measured
 single-core on this machine via a microbenchmark linked against the
@@ -9,20 +12,21 @@ reference objects (tools/ref_swbench notes): 1.054e8 cells/s at 1 kb query
 length, 10% mismatch (BASELINE.md).  vs_baseline is ours / reference.
 """
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 REF_CELLS_PER_S = 1.054e8  # reference single-core banded extension DP
+REF_BIN = "/root/yaha_ref_build/bin/yaha"
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def main():
-    sys.path.insert(0, ".")
-    import jax
-    use_tpu = any(d.platform == "tpu" for d in jax.devices())
+def bench_extension(use_tpu):
     from yaha_tpu.ops import sw_pallas, sw_batch
-
+    import jax.numpy as jnp
     rng = np.random.default_rng(7)
     if use_tpu:
         tiles, ql = 4, 128
@@ -42,13 +46,9 @@ def main():
     kw = dict(band_width=5, go=5, ge=2, rc=3, ms=1, max_gap=50,
               max_intron=50, x_cutoff=25)
 
-    # Kernel throughput (apples-to-apples with the reference's pure DP
-    # loop): inputs staged on device outside the timed window, and every
-    # launch gets DISTINCT inputs — the remote-TPU execution path
-    # memoizes bit-identical calls, which would otherwise inflate the
-    # number ~3x.  Host->device staging overlaps compute in the real
-    # pipeline (batches are prepared while the previous batch runs).
-    import jax.numpy as jnp
+    # Device-resident DISTINCT inputs: the remote-TPU execution path
+    # memoizes bit-identical launches and its h2d staging dwarfs kernel
+    # time (NOTES.md).
     reps = 8 if use_tpu else 2
     arg_sets = []
     for s in range(reps):
@@ -70,15 +70,103 @@ def main():
         for o in outs:
             o["score"].block_until_ready()
         best_dt = min(best_dt, (time.time() - t0) / reps)
-    dt = best_dt
     cells = n * ql * 21
-    cps = cells / dt
+    return cells / best_dt, n, ql
+
+
+def bench_anchored(use_tpu):
+    """Anchored (gap-fill) kernel throughput, banded gap-fill shapes."""
+    from yaha_tpu.ops import sw_pallas, sw_batch
+    import jax.numpy as jnp
+    rng = np.random.default_rng(11)
+    n = sw_pallas.TILE if use_tpu else 256
+    ql, rl = 64, 96
+    lbw_v, rbw_v = 5, 5 + (rl - ql)
+    q = rng.integers(0, 4, (n, ql)).astype(np.uint8)
+    r = rng.integers(0, 4, (n, rl)).astype(np.uint8)
+    qlens = np.full(n, ql, np.int32)
+    rlens = np.full(n, rl, np.int32)
+    lbw = np.full(n, lbw_v, np.int32)
+    rbw = np.full(n, rbw_v, np.int32)
+    kw = dict(go=5, ge=2, rc=3, ms=1, max_gap=50, max_intron=50)
+    reps = 6 if use_tpu else 2
+    arg_sets = []
+    for s in range(reps):
+        q2 = q.copy()
+        q2[:, 0] = (q2[:, 0] + s) % 4
+        arg_sets.append(tuple(jnp.asarray(x) for x in
+                              (q2, qlens, r, rlens, lbw, rbw)))
+    if use_tpu:
+        fwd = lambda a: sw_pallas.anchored_forward_pallas(*a, **kw)
+    else:
+        fwd = lambda a: sw_batch.batched_anchored_forward(*a, **kw)
+    out = fwd(arg_sets[0])
+    out["score"].block_until_ready()
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        outs = [fwd(a) for a in arg_sets]
+        for o in outs:
+            o["score"].block_until_ready()
+        best_dt = min(best_dt, (time.time() - t0) / reps)
+    # In-band cells per problem.
+    band = lbw_v + rbw_v + 1
+    cells_per = sum(min(i + rbw_v, rl) - max(i - lbw_v, 1) + 1
+                    for i in range(1, ql + 1))
+    return n * cells_per / best_dt, band
+
+
+def bench_e2e():
+    """Native-engine e2e reads/s vs the reference binary (best-of-3
+    interleaved), on the checked-in test genome."""
+    if not os.path.exists(REF_BIN):
+        return None
+    out = {}
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools/e2e_bench.py"),
+             "--reads", "20000", "--len", "100", "--threads", "1,4",
+             "--engine", "native", "--iters", "4"],
+            capture_output=True, timeout=900, text=True)
+        for line in r.stdout.splitlines():
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            key = "%s_t%d" % ("ref" if rec["who"] == "reference"
+                              else "native", rec["threads"])
+            out[key + "_reads_per_s"] = rec["reads_per_s"]
+            if "parity" in rec:
+                out[key + "_parity"] = rec["parity"]
+    except Exception as e:          # pragma: no cover
+        out["error"] = str(e)[:200]
+    return out
+
+
+def main():
+    sys.path.insert(0, REPO)
+    import jax
+    use_tpu = any(d.platform == "tpu" for d in jax.devices())
+
+    cps, n, ql = bench_extension(use_tpu)
+    extra = {}
+    try:
+        acps, band = bench_anchored(use_tpu)
+        extra["anchored_gcells_per_s"] = round(acps / 1e9, 3)
+        extra["anchored_band"] = band
+    except Exception as e:          # pragma: no cover
+        extra["anchored_error"] = str(e)[:200]
+    e2e = bench_e2e()
+    if e2e:
+        extra["e2e_100bp"] = e2e
+
     print(json.dumps({
         "metric": "banded-SW extension DP throughput (%s, batch %dx%dbp)"
                   % ("TPU pallas" if use_tpu else "CPU XLA", n, ql),
         "value": round(cps / 1e9, 3),
         "unit": "Gcells/s",
         "vs_baseline": round(cps / REF_CELLS_PER_S, 1),
+        "extra": extra,
     }))
 
 

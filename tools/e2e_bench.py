@@ -69,6 +69,9 @@ def main():
     ap.add_argument("--threads", default="1,8")
     ap.add_argument("--engine", default="batch")
     ap.add_argument("--ref", default="/root/yaha_ref_build/bin/yaha")
+    ap.add_argument("--iters", type=int, default=1,
+                    help="best-of-N wall clock (the shared VM swings "
+                         "1.5-2x between runs)")
     args = ap.parse_args()
 
     d = tempfile.mkdtemp(prefix="e2e_bench_")
@@ -80,21 +83,9 @@ def main():
 
     have_ref = os.path.exists(args.ref)
     for t in threads:
-        if have_ref:
-            out = os.path.join(d, "ref_t%d.sam" % t)
-            t0 = time.perf_counter()
-            subprocess.run([args.ref, "-x", "testgen.X11_01_65525S",
-                            "-q", os.path.basename(reads), "-t", str(t),
-                            "-osh", os.path.basename(out)],
-                           cwd=d, check=True, capture_output=True)
-            dt = time.perf_counter() - t0
-            results.append({"who": "reference", "threads": t,
-                            "reads_per_s": round(args.reads / dt, 1),
-                            "wall_s": round(dt, 2)})
-            if ref_recs is None:
-                ref_recs = _records(out)
-
-        out = os.path.join(d, "mine_t%d.sam" % t)
+        ref_dt = my_dt = None
+        out_ref = os.path.join(d, "ref_t%d.sam" % t)
+        out_my = os.path.join(d, "mine_t%d.sam" % t)
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         if args.engine in ("native", "oracle", "batch", "batch-numpy"):
@@ -105,19 +96,36 @@ def main():
             env["PYTHONPATH"] = os.pathsep.join(
                 p for p in env["PYTHONPATH"].split(os.pathsep)
                 if "axon_site" not in p)
-        t0 = time.perf_counter()
-        subprocess.run([sys.executable, "-m", "yaha_tpu.cli",
-                        "-x", "testgen.X11_01_65525S",
-                        "-q", os.path.basename(reads), "-t", str(t),
-                        "--engine", args.engine,
-                        "-osh", os.path.basename(out)],
-                       cwd=d, check=True, capture_output=True, env=env)
-        dt = time.perf_counter() - t0
-        mine = _records(out)
+        for _ in range(args.iters):
+            if have_ref:
+                t0 = time.perf_counter()
+                subprocess.run([args.ref, "-x", "testgen.X11_01_65525S",
+                                "-q", os.path.basename(reads), "-t",
+                                str(t), "-osh",
+                                os.path.basename(out_ref)],
+                               cwd=d, check=True, capture_output=True)
+                dt = time.perf_counter() - t0
+                ref_dt = dt if ref_dt is None else min(ref_dt, dt)
+            t0 = time.perf_counter()
+            subprocess.run([sys.executable, "-m", "yaha_tpu.cli",
+                            "-x", "testgen.X11_01_65525S",
+                            "-q", os.path.basename(reads), "-t", str(t),
+                            "--engine", args.engine,
+                            "-osh", os.path.basename(out_my)],
+                           cwd=d, check=True, capture_output=True, env=env)
+            dt = time.perf_counter() - t0
+            my_dt = dt if my_dt is None else min(my_dt, dt)
+        if have_ref:
+            results.append({"who": "reference", "threads": t,
+                            "reads_per_s": round(args.reads / ref_dt, 1),
+                            "wall_s": round(ref_dt, 2)})
+            if ref_recs is None:
+                ref_recs = _records(out_ref)
+        mine = _records(out_my)
         parity = (ref_recs == mine) if ref_recs is not None else None
         results.append({"who": "yaha_tpu/" + args.engine, "threads": t,
-                        "reads_per_s": round(args.reads / dt, 1),
-                        "wall_s": round(dt, 2), "parity": parity})
+                        "reads_per_s": round(args.reads / my_dt, 1),
+                        "wall_s": round(my_dt, 2), "parity": parity})
 
     for r in results:
         print(json.dumps(r))

@@ -240,9 +240,12 @@ class BatchAligner:
         elif self.backend == "numpy":
             out = sw_numpy.batched_anchored_forward_np(
                 qa, qlens, ra, rlens, lbws, rbws, **kw)
-        elif self.backend == "pallas" and rg <= 256:
-            # VMEM scratch scales with the reference-gap width; fall back
-            # to the XLA path for the rare oversized gap batch.
+        elif self.backend == "pallas" and rg <= 512:
+            # VMEM scales with the reference-gap width (~22 KB/column:
+            # 3 int32 state rows + double-buffered int8+int32 backtrack
+            # slices); rg=512 compiles and is bit-identical on v5e
+            # (rg=1024 exceeds VMEM).  The rare wider gap batch falls
+            # back to the XLA path.
             from ..ops import sw_pallas
             pad = (-n) % sw_pallas.TILE
             out = sw_pallas.anchored_forward_pallas(
