@@ -90,3 +90,39 @@ def test_batch_engine_resume(scratch):
     # Identical apart from the @PG output-file token.
     assert (resumed.replace("part.sam", "full.sam") == full)
     assert not os.path.exists(os.path.join(scratch, "part.sam.cursor"))
+
+
+def test_long_read_cap_lift(tmp_path):
+    """--max-query-length aligns a read beyond the reference's 32 kb cap
+    through the native engine (CP-analog, SURVEY.md section 5)."""
+    import gzip
+    import shutil
+    import subprocess
+    import sys
+    import os
+    from conftest import DATA, GOLD
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shutil.copy(os.path.join(GOLD, "testgen.nib2"), tmp_path)
+    with gzip.open(os.path.join(GOLD, "testgen.X11_01_65525S.gz")) as f:
+        with open(os.path.join(tmp_path, "testgen.X11_01_65525S"),
+                  "wb") as out:
+            out.write(f.read())
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import random
+    import make_testdata as mt
+    rng = random.Random(20260816)
+    genome = mt.make_genome(rng)
+    read = genome["chr1"][:40000]
+    with open(os.path.join(tmp_path, "long.fasta"), "w") as f:
+        f.write(">long1\n%s\n" % read)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    r = subprocess.run(
+        [sys.executable, "-m", "yaha_tpu.cli", "-x",
+         "testgen.X11_01_65525S", "-q", "long.fasta", "--engine",
+         "native", "--max-query-length", "64000", "-osh", "long.sam"],
+        cwd=tmp_path, env=env, capture_output=True, timeout=600)
+    assert r.returncode == 0, r.stderr.decode()[-1000:]
+    with open(os.path.join(tmp_path, "long.sam")) as f:
+        recs = [l for l in f if not l.startswith("@")]
+    assert recs and recs[0].split("\t")[5] == "40000M"

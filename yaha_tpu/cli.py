@@ -205,6 +205,23 @@ def main(argv=None):
             aa.batch_size = _parse_int(argv[i], "--batch-size")
         elif a == "--resume":
             aa.resume = True
+        elif a == "--max-query-length":
+            # yaha_tpu extension (CP-analog, SURVEY.md section 5
+            # long-context): the reference hard-caps reads at 32 kb
+            # (AlignArgs.c:82) and skips longer ones; the array pipelines
+            # here have no such structural limit, so the cap is a
+            # parity default that can be raised.  Banded DP keeps cost
+            # linear in read length; fragment regions are independent
+            # beyond maxGap diagonal separation, so long reads batch
+            # through the same phased DP as everything else.
+            i += 1
+            aa.max_query_length = _parse_int(argv[i], "--max-query-length")
+        elif a == "--trace":
+            # jax.profiler device trace for the jax engines (SURVEY.md
+            # section 5 tracing): writes a TensorBoard-loadable trace of
+            # every device kernel in the run.
+            i += 1
+            aa.trace_dir = argv[i]
         elif a == "-qs":
             # QUERYSTATS analog (Query.c:480-491, non-user builds): per-query
             # tab-separated stats (id, length, seeds, clumps, alignments
@@ -585,6 +602,8 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
         mode = "a"
         print("Resuming at read %d." % start_read, file=sys.stderr)
     timers = StageTimers()
+    from .utils.timing import device_trace
+    trace_dir = getattr(aa, "trace_dir", None)
     aligner = BatchAligner(aa, genome, index, backend=backend,
                            frontend=frontend)
     out = (sys.stdout if aa.ofile_name in ("stdout", "-")
@@ -677,14 +696,15 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
                 n = n_done
                 emit_q.put(("".join(outs), n))
         else:
-            for lo in range(start_read, len(records), batch_size):
-                batch = records[lo:lo + batch_size]
-                with timers.stage("align batch"):
-                    outs = aligner.align_batch(batch)
-                if emit_err:
-                    raise emit_err[0]
-                n = lo + len(batch)
-                emit_q.put(("".join(outs), n))
+            with device_trace(trace_dir):
+                for lo in range(start_read, len(records), batch_size):
+                    batch = records[lo:lo + batch_size]
+                    with timers.stage("align batch"):
+                        outs = aligner.align_batch(batch)
+                    if emit_err:
+                        raise emit_err[0]
+                    n = lo + len(batch)
+                    emit_q.put(("".join(outs), n))
         emit_q.put(None)
         writer.join()
         if emit_err:

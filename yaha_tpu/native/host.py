@@ -213,14 +213,14 @@ def parse_queries_native(data: bytes, fastq: bool, max_query_len: int,
 
 
 def _pack_params_ct(aa, n_threads):
-    ip = (ctypes.c_int64 * 25)(
+    ip = (ctypes.c_int64 * 26)(
         aa.word_len, aa.max_hits, aa.max_gap, aa.max_intron, aa.min_match,
         aa.max_desert, aa.min_raw_score, aa.min_non_overlap,
         aa.oqc_min_non_overlap, aa.band_width, aa.m_score, aa.r_cost,
         aa.go_cost, aa.ge_cost, aa.x_cutoff, aa.min_ext_length, aa.bp_cost,
         aa.max_bp_log, int(aa.oqc), int(aa.fbs), int(aa.output_sam),
         int(aa.output_blast8), int(aa.hard_clip), int(aa.fastq),
-        int(n_threads))
+        int(n_threads), int(aa.max_query_length))
     fp = (ctypes.c_double * 3)(aa.min_identity, aa.fbs_ps_length,
                                aa.fbs_ps_score)
     return ip, fp
@@ -304,7 +304,7 @@ def _pack_params(aa, n_threads):
         aa.go_cost, aa.ge_cost, aa.x_cutoff, aa.min_ext_length, aa.bp_cost,
         aa.max_bp_log, int(aa.oqc), int(aa.fbs), int(aa.output_sam),
         int(aa.output_blast8), int(aa.hard_clip), int(aa.fastq),
-        int(n_threads)], np.int64)
+        int(n_threads), int(aa.max_query_length)], np.int64)
     fp = np.array([aa.min_identity, aa.fbs_ps_length, aa.fbs_ps_score],
                   np.float64)
     return ip, fp

@@ -24,6 +24,16 @@ extern "C" {
 
 void yt_free(void* p) { free(p); }
 
+// Wide-score mode (set per pipeline thread by yt_align_batch): disables
+// the reference's int16 score-storage wraps.  The wraps are byte-parity
+// obligations only inside the reference's input domain (reads <= 32 kb,
+// AlignArgs.c:82); --max-query-length beyond that would otherwise wrap
+// any full-length match score negative and break OQC selection.
+thread_local int64_t yt_wide_scores = 0;
+static inline int64_t yt_wrap_i16(int64_t x) {
+    return yt_wide_scores ? x : (((x + 0x8000) & 0xFFFF) - 0x8000);
+}
+
 // char -> 4-bit code table (Math.c:141-152 values; >=128 maps to X=14).
 static uint8_t four_bit_codes[256];
 static char four_bit_chars[17] = "TCAGNBDHKMRSVWXY";
@@ -369,9 +379,9 @@ int64_t yt_chain_dp(int64_t n, const int64_t* sqo, const int64_t* eqo,
         sro[i] = (diag[i] + sqo[i]) & M32;
         ero[i] = (diag[i] + eqo[i]) & M32;
         // SINT nodeLength/bestScore stores (int16 wrap), as in _Node.
-        int64_t lw = ((length[i] + 0x8000) & 0xFFFF) - 0x8000;
+        int64_t lw = yt_wrap_i16(length[i]);
         length_w[i] = lw;
-        best_score[i] = ((lw * m_score + 0x8000) & 0xFFFF) - 0x8000;
+        best_score[i] = yt_wrap_i16(lw * m_score);
         prev_idx[i] = -1;
         path_length[i] = 1;
         path_sqo[i] = sqo[i];
@@ -411,7 +421,7 @@ int64_t yt_chain_dp(int64_t n, const int64_t* sqo, const int64_t* eqo,
                         continue;
                 }
             }
-            best_score[j] = ((new_score + 0x8000) & 0xFFFF) - 0x8000;
+            best_score[j] = yt_wrap_i16(new_score);
             prev_idx[j] = i;
             path_length[j] = path_length[i] + 1;
             path_sqo[j] = path_sqo[i];

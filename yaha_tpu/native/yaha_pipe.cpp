@@ -55,6 +55,7 @@ int yt_anchored_forward(const uint8_t* q, const int32_t* qlens,
                         int go, int ge, int rc, int ms,
                         int max_gap, int max_intron,
                         int8_t* eo, int32_t* idc, int32_t* score);
+extern thread_local int64_t yt_wide_scores;
 }
 
 namespace yp {
@@ -86,7 +87,7 @@ struct Params {
     int64_t word_len, max_hits, max_gap, max_intron, min_match, max_desert,
         min_raw_score, min_non_overlap, oqc_min_non_overlap, band_width,
         m_score, r_cost, go_cost, ge_cost, x_cutoff, min_ext_length,
-        bp_cost, max_bp_log;
+        bp_cost, max_bp_log, max_query_length;
     bool oqc, fbs, output_sam, output_blast8, hard_clip, fastq;
     double min_identity, fbs_ps_length, fbs_ps_score;
 };
@@ -97,14 +98,18 @@ enum IP {
     IP_OQC_MIN_NON_OVERLAP, IP_BAND_WIDTH, IP_M_SCORE, IP_R_COST,
     IP_GO_COST, IP_GE_COST, IP_X_CUTOFF, IP_MIN_EXT_LENGTH, IP_BP_COST,
     IP_MAX_BP_LOG, IP_OQC, IP_FBS, IP_OUTPUT_SAM, IP_OUTPUT_BLAST8,
-    IP_HARD_CLIP, IP_FASTQ, IP_N_THREADS, IP_COUNT
+    IP_HARD_CLIP, IP_FASTQ, IP_N_THREADS, IP_MAX_QUERY_LEN, IP_COUNT
 };
 
 // ---- int wrap helpers (core/cints.py) ----
+// Identity in wide-score mode (reads beyond the reference's 32 kb input
+// domain, where the int16 parity quirks would corrupt real scores).
 static inline int64_t wrap_i16(int64_t x) {
-    return ((x + 0x8000) & 0xFFFF) - 0x8000;
+    return yt_wide_scores ? x : (((x + 0x8000) & 0xFFFF) - 0x8000);
 }
-static inline int64_t wrap_u16(int64_t x) { return x & 0xFFFF; }
+static inline int64_t wrap_u16(int64_t x) {
+    return yt_wide_scores ? x : (x & 0xFFFF);
+}
 
 // ---- RNG (utils/rng.py; Math.c:251-343) ----
 struct Rng {
@@ -1165,6 +1170,15 @@ static inline uint64_t compare_key(const CNode& n) {
 }
 
 static bool node_less_than(const CNode* n1, const CNode* n2, Rng& rng) {
+    if (yt_wide_scores) {
+        // Same (SQO asc, EQO desc, score desc) order without the 16-bit
+        // key packing, which wide scores/offsets would overflow.
+        if (n1->sqo != n2->sqo) return n1->sqo < n2->sqo;
+        if (n1->eqo != n2->eqo) return n1->eqo > n2->eqo;
+        if (n1->node_score != n2->node_score)
+            return n1->node_score > n2->node_score;
+        return (rng.bits() & 0x1) != 0;
+    }
     uint64_t k1 = compare_key(*n1);
     uint64_t k2 = compare_key(*n2);
     if (k1 == k2) return (rng.bits() & 0x1) != 0;
@@ -1899,6 +1913,7 @@ int yt_align_batch(
     aa.fbs_ps_length = fparams[1];
     aa.fbs_ps_score = fparams[2];
     int64_t n_threads = iparams[IP_N_THREADS];
+    aa.max_query_length = iparams[IP_MAX_QUERY_LEN];
     if (n_threads < 1) n_threads = 1;
     int64_t hw = (int64_t)std::thread::hardware_concurrency();
     if (hw > 0 && n_threads > hw) n_threads = hw;
@@ -1926,6 +1941,7 @@ int yt_align_batch(
         Prof* prof = prof_enabled()
             ? &profs[(size_t)prof_slot.fetch_add(1)] : nullptr;
         g_prof = prof;
+        yt_wide_scores = aa.max_query_length > 32000 ? 1 : 0;
         State st;
         st.aa = &aa;
         st.genome = &genome;
