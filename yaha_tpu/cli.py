@@ -508,6 +508,12 @@ def _run_native_engine(aa, genome, index):
     writer = threading.Thread(target=_writer, daemon=True)
     writer.start()
     done = 0
+    qs_name = getattr(aa, "qs_file_name", None)
+    qs_file = open(qs_name, "w") if qs_name else None
+    if qs_file:
+        qs_file.write("query\tlen\tseedMatches\talignments\tusec\n")
+    seed_total = 0
+    rec_total = 0
     try:
         if start_read == 0:
             emit_q.put((sam.file_header(aa, genome).encode("latin-1"),
@@ -526,9 +532,14 @@ def _run_native_engine(aa, genome, index):
                 # interrupted run): start inside the batch.
                 lo = max(lo, start_read - base)
                 with timers.stage("align batch"):
-                    text = host.align_batch_native(
+                    text, stats, sm, nr = host.align_batch_native(
                         pr, lo, hi, genome, index, aa,
-                        n_threads=aa.num_threads)
+                        n_threads=aa.num_threads,
+                        want_stats=qs_file is not None)
+                seed_total += sm
+                rec_total += nr
+                if stats is not None:
+                    qs_file.write(stats.decode("latin-1"))
                 if emit_err:
                     raise emit_err[0]
                 n = base + hi
@@ -545,9 +556,14 @@ def _run_native_engine(aa, genome, index):
             timers.print_report()
             total_s = sum(timers.totals.values())
             emitted = n - start_read
+            # Run summary (the STATS compile-switch analog,
+            # Query.c:519-536).
+            print("Processed %d reads: %d seed matches, %d alignments "
+                  "printed." % (emitted, seed_total, rec_total),
+                  file=sys.stderr)
             if total_s > 0 and emitted > 0:
-                print("Processed %d reads (%.0f reads/s)." %
-                      (emitted, emitted / total_s), file=sys.stderr)
+                print("Throughput: %.0f reads/s." %
+                      (emitted / total_s), file=sys.stderr)
     finally:
         if writer.is_alive():
             try:
@@ -555,6 +571,8 @@ def _run_native_engine(aa, genome, index):
             except queue.Full:
                 pass
             writer.join(timeout=30)
+        if qs_file:
+            qs_file.close()
         if out is not sys.stdout.buffer:
             out.close()
             if os.path.exists(cursor_path) and n >= done:

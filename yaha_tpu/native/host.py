@@ -236,14 +236,18 @@ def _ab_sig(lib):
             i64p, i64p, ct.c_int64, u8p, i64p,
             ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_uint32), ct.c_int64,
             i64p, ct.POINTER(ct.c_double),
-            ct.POINTER(ct.c_void_p), i64p]
+            ct.POINTER(ct.c_void_p), i64p,
+            ct.POINTER(ct.c_void_p), i64p, i64p, i64p]
         lib._ab_sig_done = True
 
 
 def align_batch_native(pr: ParsedReads, lo: int, hi: int, genome, index,
-                       aa, n_threads=1) -> bytes:
+                       aa, n_threads=1, want_stats=False):
     """Full native pipeline over reads [lo, hi) of a ParsedReads, using
-    numpy-free NativeGenome/NativeIndex handles (io/native_loader.py)."""
+    numpy-free NativeGenome/NativeIndex handles (io/native_loader.py).
+
+    Returns (sam_bytes, stats_bytes|None, total_seed_matches,
+    total_records); stats rows are the QUERYSTATS TSV fields."""
     lib = _load()
     import ctypes as ct
     _ab_sig(lib)
@@ -255,6 +259,10 @@ def align_batch_native(pr: ParsedReads, lo: int, hi: int, genome, index,
 
     out_text = ct.c_void_p()
     out_len = ct.c_int64()
+    stats_text = ct.c_void_p()
+    stats_lenv = ct.c_int64()
+    seed_total = ct.c_int64()
+    rec_total = ct.c_int64()
     rc = lib.yt_align_batch(
         pr.seqs, off64(pr.seq_offs, lo), pr.ids, off64(pr.id_offs, lo),
         pr.quals if aa.fastq else None, hi - lo,
@@ -267,12 +275,22 @@ def align_batch_native(pr: ParsedReads, lo: int, hi: int, genome, index,
         index.so_ptr, index.roa_ptr, index.roa_len,
         ct.cast(ip, ct.POINTER(ct.c_int64)),
         ct.cast(fp, ct.POINTER(ct.c_double)),
-        ct.byref(out_text), ct.byref(out_len))
+        ct.byref(out_text), ct.byref(out_len),
+        ct.byref(stats_text) if want_stats else None,
+        ct.byref(stats_lenv) if want_stats else None,
+        ct.byref(seed_total), ct.byref(rec_total))
     assert rc == 0
     try:
-        return ctypes.string_at(out_text, out_len.value)
+        text = ctypes.string_at(out_text, out_len.value)
     finally:
         lib.yt_free(out_text)
+    stats = None
+    if want_stats:
+        try:
+            stats = ctypes.string_at(stats_text, stats_lenv.value)
+        finally:
+            lib.yt_free(stats_text)
+    return text, stats, int(seed_total.value), int(rec_total.value)
 
 
 def _genome_handles(genome):

@@ -1769,7 +1769,7 @@ static void print_clump(State& st, Clump& clump, std::string& out) {
 
 // One strand: fused native seed->fragment->clump front end, then clump
 // materialization in emission order with addClump prepending.
-static void process_strand(State& st, bool rev) {
+static int64_t process_strand(State& st, bool rev) {
     const Params& aa = *st.aa;
     const uint8_t* codes = rev ? st.rev_codes.data() : st.fwd_codes.data();
     for (;;) {
@@ -1813,11 +1813,14 @@ static void process_strand(State& st, bool rev) {
             clump->matched_bases = st.sc_matched[(size_t)k];
             st.add_clump(clump, rev);
         }
-        return;
+        return total_hits;
     }
 }
 
-static void align_read(State& st, std::string& out, Prof* prof) {
+// Returns (seed_matches, alignments_printed) for the QUERYSTATS analog
+// (Query.c:480-491; core/pipeline.align_query stats fields).
+static std::pair<int64_t, int64_t> align_read(State& st, std::string& out,
+                                              Prof* prof) {
     // Per-query RNG seed from the read content (QueryState.c:171-187).
     uint32_t seed[5];
     query_seed(st.fwd_codes.data(), st.q_len, seed);
@@ -1827,8 +1830,8 @@ static void align_read(State& st, std::string& out, Prof* prof) {
     st.primary_count = 0;
     double t0 = prof ? now_s() : 0;
 
-    process_strand(st, false);
-    process_strand(st, true);
+    int64_t seed_matches = process_strand(st, false);
+    seed_matches += process_strand(st, true);
     double t1 = prof ? now_s() : 0;
 
     // postProcessClumps (QueryMatch.c:306-331).
@@ -1848,6 +1851,7 @@ static void align_read(State& st, std::string& out, Prof* prof) {
 
     for (Clump* clump : st.clumps)
         print_clump(st, *clump, out);
+    int64_t n_aligns = (int64_t)st.clumps.size();
 
     if (prof) {
         double t4 = now_s();
@@ -1857,6 +1861,7 @@ static void align_read(State& st, std::string& out, Prof* prof) {
         prof->print += t4 - t3;
         prof->reads++;
     }
+    return {seed_matches, n_aligns};
 }
 
 }  // namespace yp
@@ -1880,7 +1885,9 @@ int yt_align_batch(
     const uint8_t* bs_names, const int64_t* bs_name_offs,
     const uint32_t* so, const uint32_t* roa, int64_t roa_len,
     const int64_t* iparams, const double* fparams,
-    char** out_text, int64_t* out_len) {
+    char** out_text, int64_t* out_len,
+    char** stats_text, int64_t* stats_len,
+    int64_t* total_seed_matches, int64_t* total_records) {
     using namespace yp;
     init_tables();
 
@@ -1933,6 +1940,10 @@ int yt_align_batch(
             (size_t)(bs_name_offs[i + 1] - bs_name_offs[i]));
 
     std::vector<std::string> outs((size_t)n_reads);
+    const bool want_stats = stats_text != nullptr;
+    std::vector<std::string> stats((size_t)(want_stats ? n_reads : 0));
+    std::atomic<int64_t> seed_sum{0};
+    std::atomic<int64_t> rec_sum{0};
     std::atomic<int64_t> next{0};
     std::vector<Prof> profs((size_t)(n_threads > 0 ? n_threads : 1));
     std::atomic<int> prof_slot{0};
@@ -1969,7 +1980,22 @@ int yt_align_batch(
                 st.rev_codes[(size_t)k] = rc;
                 st.rev_chars[(size_t)k] = (uint8_t)kChars[rc];
             }
-            align_read(st, outs[(size_t)i], prof);
+            double ts = want_stats ? now_s() : 0;
+            auto sm_na = align_read(st, outs[(size_t)i], prof);
+            seed_sum.fetch_add(sm_na.first, std::memory_order_relaxed);
+            rec_sum.fetch_add(sm_na.second, std::memory_order_relaxed);
+            if (want_stats) {
+                // QUERYSTATS row: id, len, seedMatches, alignments, usec
+                // (core/pipeline.align_query field order).
+                char tmp[64];
+                std::string& srow = stats[(size_t)i];
+                srow.append(st.query_id);
+                snprintf(tmp, sizeof tmp, "\t%lld\t%lld\t%lld\t%lld\n",
+                         (long long)qlen, (long long)sm_na.first,
+                         (long long)sm_na.second,
+                         (long long)((now_s() - ts) * 1e6));
+                srow.append(tmp);
+            }
         }
     };
 
@@ -2017,6 +2043,21 @@ int yt_align_batch(
     }
     *out_text = buf;
     *out_len = (int64_t)total;
+    if (want_stats) {
+        size_t st_total = 0;
+        for (const std::string& s : stats) st_total += s.size();
+        char* sbuf = (char*)malloc(st_total ? st_total : 1);
+        if (!sbuf) return -1;
+        size_t sp = 0;
+        for (const std::string& s : stats) {
+            memcpy(sbuf + sp, s.data(), s.size());
+            sp += s.size();
+        }
+        *stats_text = sbuf;
+        *stats_len = (int64_t)st_total;
+    }
+    if (total_seed_matches) *total_seed_matches = seed_sum.load();
+    if (total_records) *total_records = rec_sum.load();
     return 0;
 }
 
