@@ -72,7 +72,7 @@ def test_sam_parity(scratch, out_name, reads, idx, args):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     cmd = [sys.executable, "-m", "yaha_tpu.cli", "-x", idx, "-q", reads,
-           *args, out_name]
+           "--engine", "oracle", *args, out_name]
     r = subprocess.run(cmd, cwd=scratch, env=env, capture_output=True,
                        timeout=2400)
     assert r.returncode == 0, r.stderr.decode()[-2000:]
@@ -80,6 +80,8 @@ def test_sam_parity(scratch, out_name, reads, idx, args):
         mine = f.read()
     with open(os.path.join(GOLD, out_name), "rb") as f:
         gold = f.read()
+    # --engine is a yaha_tpu extension and not part of the @PG CL line,
+    # so the comparison stays fully byte-exact.
     assert mine == gold, "output differs from reference golden"
 
 

@@ -333,7 +333,12 @@ def _do_index(aa):
 
 
 def _do_query(aa):
-    engine = getattr(aa, "engine", "oracle")
+    engine = getattr(aa, "engine", None)
+    if engine is None:
+        # Default: the full native C++ pipeline when built (reference-
+        # speed product path); reference-exact Python oracle otherwise.
+        from .native import host as _h
+        engine = "native" if _h.available() else "oracle"
     if engine == "native":
         from .native import host
         if host.available():
