@@ -197,11 +197,22 @@ def run_one(seed, keep=False):
         elif r_eng < 0.85:
             engine = ["--engine", "batch", "-t", "2"]
         else:
-            engine = []
+            # Explicit: the CLI default is now the native engine, so the
+            # oracle path needs its own arm to keep getting fuzzed.
+            engine = ["--engine", "oracle"]
         my_cmd = [sys.executable, "-m", "yaha_tpu.cli", "-x", idx, "-q",
                   reads_name] + engine + cfg + [out_mode, "my.out"]
-        r2 = subprocess.run(my_cmd, cwd=d, env=env, capture_output=True,
-                            timeout=1200)
+        if r1.returncode < 0:
+            # Reference crashed; skip before burning time on our run
+            # (these inputs are pathological 32kb-tandem-repeat /
+            # IUPAC-heavy cases where the reference segfaults and any
+            # correct aligner grinds through millions of fragments).
+            return "ref-crash", d
+        try:
+            r2 = subprocess.run(my_cmd, cwd=d, env=env,
+                                capture_output=True, timeout=1200)
+        except subprocess.TimeoutExpired:
+            return "OUR-TIMEOUT", d
         if r1.returncode < 0:
             # Reference crashed (observed: segfaults on IUPAC-heavy
             # inputs with small -BW, and on 32kb tandem-repeat reads).

@@ -11,6 +11,36 @@ import sys
 
 from .config import AlignmentArgs
 
+USAGE = """\
+yaha_tpu: TPU-native split-read DNA aligner (yaha 0.1.83 compatible)
+
+Create an index:
+  yaha_tpu -g <genomeFile (fa|fasta|fna|nib2)> [-L wordLen] [-S skipDist]
+           [-H maxHits]
+Compress / uncompress a genome:
+  yaha_tpu -g <file> -c | -u
+Align queries:
+  yaha_tpu -x <indexFile> -q <queryFile (fa|fastq)>
+           [-osh|-oss|-o8 <outFile>] [options]
+
+Alignment options (reference-compatible):
+  -t N      worker threads            -BW N   band width (5)
+  -G N      max gap (50)              -H N    max hits per seed (650)
+  -M N      min match (25)            -MD N   max desert (50)
+  -P F      min identity (0.90)       -X N    X-dropoff cutoff (25)
+  -AGS Y|N  affine gap scoring        -GEC/-GOC/-MS/-RC scoring params
+  -OQC Y|N  optimal query coverage    -BP/-MGDP/-MNO OQC params
+  -FBS Y|N  filter by similarity      -PRL/-PSS FBS params
+  -I N      max intron                -R N    min raw score
+  -v        verbose run summary       -qs F   per-query stats TSV
+
+yaha_tpu extensions:
+  --engine oracle|native|batch|batch-numpy|batch-xla|batch-pallas
+  --batch-size N          reads per batch
+  --max-query-length N    lift the 32 kb read cap
+  --resume                continue from the output cursor
+  --trace DIR             jax.profiler device trace (jax engines)"""
+
 
 def _parse_bool(s, key):
     if len(s) == 1:
@@ -75,7 +105,7 @@ def main(argv=None):
     while i < len(argv):
         a = argv[i]
         if a in ("-h", "-?", "-xh"):
-            print("yaha_tpu: TPU-native yaha-compatible aligner", file=sys.stderr)
+            print(USAGE, file=sys.stderr)
             return 0
         elif a == "-g":
             i += 1
