@@ -23,7 +23,7 @@ class NativeGenome:
 
     __slots__ = ("names", "starting_offsets", "lengths", "codes_buf",
                  "codes_len", "max_roff", "_starts_arr", "_lens_arr",
-                 "_names_blob", "_name_offs")
+                 "_names_blob", "_name_offs", "_mm_refs")
 
     @property
     def n_seqs(self):
@@ -31,11 +31,21 @@ class NativeGenome:
 
 
 def load_genome(path: str) -> NativeGenome:
+    import os
     from ..native import host
     lib = host._load()
+    nib2_size = os.path.getsize(path)
     with open(path, "rb") as f:
-        data = f.read()
-    magic, version, base_off, seq_count = struct.unpack_from("<IIII", data, 0)
+        head = f.read(16)
+        magic, version, base_off, seq_count = struct.unpack_from(
+            "<IIII", head, 0)
+        if magic != NIB2_MARKER or version not in (1, 2):
+            raise ValueError("Input nib2 file bad header format.")
+        # Preamble (headers + names) only; the 4-bit payload is read
+        # lazily -- not at all when the unpacked-codes sidecar is fresh.
+        preamble = f.read(base_off - 16)
+    data = head + preamble
+    _ = data
     if magic != NIB2_MARKER or version not in (1, 2):
         raise ValueError("Input nib2 file bad header format.")
     bs_block = 12 if version == 1 else 16
@@ -55,16 +65,48 @@ def load_genome(path: str) -> NativeGenome:
         g.lengths.append(ln)
         g.names.append(data[name_start + noff:name_start + noff + nlen]
                        .decode("latin-1"))
-    packed = data[base_off:]
-    n_codes = 2 * len(packed)
+    n_codes = 2 * (nib2_size - base_off)
     # +8192 zero codes: the reference's mmap zero page past EOF
     # (io/nib2.py load; fuzz seed 12247).
-    g.codes_buf = ctypes.create_string_buffer(n_codes + 8192)
-    lib.yt_unpack_nib2(
-        ctypes.cast(ctypes.c_char_p(packed), ctypes.POINTER(ctypes.c_uint8)),
-        len(packed),
-        ctypes.cast(g.codes_buf, ctypes.POINTER(ctypes.c_uint8)))
-    g.codes_len = n_codes + 8192
+    #
+    # The unpacked code array is cached in a sidecar (<nib2>.codes) and
+    # mmap'd on reuse: at 3 Gbp the unpack costs ~5 s per run, while the
+    # reference's raw mmap is instant -- the sidecar restores that
+    # (OS page cache shares it across processes, like the reference's
+    # shared index mmap, guide section 3).
+    codes_path = path + ".codes"
+    total_len = n_codes + 8192
+    use_cache = False
+    try:
+        st = os.stat(codes_path)
+        use_cache = (st.st_size == total_len and
+                     st.st_mtime >= os.path.getmtime(path))
+    except OSError:
+        pass
+    if use_cache:
+        f2 = open(codes_path, "rb")
+        mm = mmap.mmap(f2.fileno(), 0, access=mmap.ACCESS_COPY)
+        g.codes_buf = (ctypes.c_char * total_len).from_buffer(mm)
+        g._mm_refs = (mm, f2)
+    else:
+        with open(path, "rb") as f:
+            f.seek(base_off)
+            packed = f.read()
+        g.codes_buf = ctypes.create_string_buffer(total_len)
+        lib.yt_unpack_nib2(
+            ctypes.cast(ctypes.c_char_p(packed),
+                        ctypes.POINTER(ctypes.c_uint8)),
+            len(packed),
+            ctypes.cast(g.codes_buf, ctypes.POINTER(ctypes.c_uint8)))
+        g._mm_refs = None
+        try:
+            tmp = codes_path + ".tmp.%d" % os.getpid()
+            with open(tmp, "wb") as f2:
+                f2.write(memoryview(g.codes_buf))
+            os.replace(tmp, codes_path)
+        except OSError:
+            pass     # read-only dir: just skip the cache
+    g.codes_len = total_len
     g.max_roff = (g.starting_offsets[-1] + g.lengths[-1]
                   if seq_count else 0)
     g._starts_arr = (ctypes.c_int64 * seq_count)(*g.starting_offsets)
