@@ -875,16 +875,40 @@ int64_t yt_seed_to_clumps(
     double _t1 = _now_s();
     yt_prof_scan += _t1 - _t0; yt_prof_hits += total_hits;
     for (const Run& r : runs) emit_run(r);
-    std::sort(frs.begin(), frs.end(),
-              [](const FR& a, const FR& b) { return a.key < b.key; });
     static thread_local std::vector<int64_t> fsqo, feqo, fsro;
     fsqo.clear(); feqo.clear(); fsro.clear();
-    for (const FR& fr : frs) {
-        int64_t diag = (int64_t)(fr.key >> 32);
-        int64_t sqo = (int64_t)(fr.key & 0xFFFFFFFFull);
-        fsqo.push_back(sqo);
-        feqo.push_back(fr.eqo + word_len - 1);
-        fsro.push_back((diag + sqo) & M32);
+    if (q_len <= 0xFFFF) {
+        // Pack (diag:32 | sqo:16 | eqo:16) into one u64: (diag, sqo)
+        // pairs are unique post-coalescing, so sorting the packed keys
+        // gives the same order with a plain u64 sort (~2x the struct
+        // sort on spurious-hit-heavy strands with thousands of
+        // single-hit fragments).
+        static thread_local std::vector<uint64_t> packed;
+        packed.clear();
+        packed.reserve(frs.size());
+        for (const FR& fr : frs)
+            packed.push_back(((fr.key >> 32) << 32) |
+                             ((fr.key & 0xFFFFull) << 16) |
+                             (uint64_t)fr.eqo);
+        std::sort(packed.begin(), packed.end());
+        for (uint64_t p : packed) {
+            int64_t diag = (int64_t)(p >> 32);
+            int64_t sqo = (int64_t)((p >> 16) & 0xFFFFull);
+            int64_t eqo_run = (int64_t)(p & 0xFFFFull);
+            fsqo.push_back(sqo);
+            feqo.push_back(eqo_run + word_len - 1);
+            fsro.push_back((diag + sqo) & M32);
+        }
+    } else {
+        std::sort(frs.begin(), frs.end(),
+                  [](const FR& a, const FR& b) { return a.key < b.key; });
+        for (const FR& fr : frs) {
+            int64_t diag = (int64_t)(fr.key >> 32);
+            int64_t sqo = (int64_t)(fr.key & 0xFFFFFFFFull);
+            fsqo.push_back(sqo);
+            feqo.push_back(fr.eqo + word_len - 1);
+            fsro.push_back((diag + sqo) & M32);
+        }
     }
 
     double _t2 = _now_s();
