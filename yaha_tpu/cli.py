@@ -246,6 +246,19 @@ def main(argv=None):
             # through the same phased DP as everything else.
             i += 1
             aa.max_query_length = _parse_int(argv[i], "--max-query-length")
+        elif a == "--coordinator":
+            # Multi-host run (jax.distributed): every host runs the same
+            # command with its own --host-id; host 0's address is the
+            # coordinator.  Reads are range-sharded per host and per-host
+            # SAM parts merge in host order (parallel/distributed.py).
+            i += 1
+            aa.coordinator = argv[i]
+        elif a == "--num-hosts":
+            i += 1
+            aa.num_hosts = _parse_int(argv[i], "--num-hosts")
+        elif a == "--host-id":
+            i += 1
+            aa.host_id = _parse_int(argv[i], "--host-id")
         elif a == "--trace":
             # jax.profiler device trace for the jax engines (SURVEY.md
             # section 5 tracing): writes a TensorBoard-loadable trace of
@@ -627,6 +640,12 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
     from .models.aligner import BatchAligner
     from .utils.timing import StageTimers
 
+    num_hosts = getattr(aa, "num_hosts", 1)
+    multi_host = num_hosts > 1
+    if multi_host:
+        from .parallel import distributed as dist
+        dist.initialize(getattr(aa, "coordinator", None), num_hosts,
+                        getattr(aa, "host_id", 0))
     backend = {"batch": "auto", "batch-numpy": "numpy",
                "batch-xla": "xla", "batch-pallas": "pallas"}[engine]
     # The jax engines run the seed->fragment->chain front end on device
@@ -636,10 +655,18 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
     batch_size = getattr(aa, "batch_size", 256)
     aa.fastq = qdata[:1] == b"@"
     records = list(fasta.read_queries(qdata, aa))
+    merged_ofile = aa.ofile_name
+    if multi_host:
+        import jax
+        from .parallel import distributed as dist
+        lo, hi = dist.host_read_range(len(records))
+        records = records[lo:hi]
+        aa.ofile_name = dist.part_file_name(merged_ofile)
     cursor_path = aa.ofile_name + ".cursor"
     start_read = 0
     mode = "w"
-    if getattr(aa, "resume", False) and os.path.exists(cursor_path):
+    if getattr(aa, "resume", False) and not multi_host and \
+            os.path.exists(cursor_path):
         # Cursor records "<reads_done> <output_bytes>".  A crash between
         # the output flush and the cursor write leaves the output file
         # ahead of the cursor; truncating to the recorded byte offset
@@ -727,7 +754,7 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
     writer = threading.Thread(target=_writer, daemon=True)
     writer.start()
     try:
-        if start_read == 0:
+        if start_read == 0 and not multi_host:
             emit_q.put((sam.file_header(aa, genome), None))
         if pool is not None:
             # Streaming dispatch: every batch_size slice is submitted up
@@ -782,6 +809,24 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
             out.close()
             if os.path.exists(cursor_path) and n >= len(records):
                 os.unlink(cursor_path)
+    if multi_host:
+        # Cross-host barrier (a tiny psum over the global mesh), then
+        # host 0 merges the parts in host order.
+        import jax
+        import numpy as np_
+        from jax.sharding import Mesh, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        from .parallel import distributed as dist
+        nd = len(jax.devices())
+        mesh = Mesh(np_.array(jax.devices()).reshape(nd), ("data",))
+        jax.jit(shard_map(
+            lambda x: jax.lax.psum(x.sum(), "data"), mesh=mesh,
+            in_specs=P("data"), out_specs=P()))(
+                np_.ones(nd, np_.float32)).block_until_ready()
+        if jax.process_index() == 0:
+            aa.ofile_name = merged_ofile   # @PG shows the merged name
+            dist.merge_part_files(merged_ofile, jax.process_count(),
+                                  sam.file_header(aa, genome))
 
 
 _WORKER_ALIGNER = None
