@@ -513,7 +513,11 @@ def _run_native_engine(aa, genome, index):
 
     with open(aa.qfile_name, "rb") as f:
         aa.fastq = f.read(1) == b"@"
-    batch_size = getattr(aa, "batch_size", 0) or 8192
+    # Large batches keep the worker threads off the per-batch join
+    # barrier (the reference's work-stealing loop has no barriers at
+    # all); the emit/cursor granularity stays bounded by the streaming
+    # chunk size anyway.
+    batch_size = getattr(aa, "batch_size", 0) or 65536
     cursor_path = aa.ofile_name + ".cursor"
     start_read = 0
     mode = "w"

@@ -159,8 +159,110 @@ static inline double now_s() {
 
 
 // ---- EditOpList (core/editops.py; SW.cpp:151-283) ----
-struct EO { char op; int64_t len; };
-using EOL = std::vector<EO>;
+//
+// Run-length edit ops are tiny (typically 1-6 runs between merges), so
+// the list is a small-inline vector: 8 entries live in the object and
+// only pathological lists touch the heap.  EO is packed to 8 bytes
+// (lengths are bounded by the read length < 2^31).
+struct EO { char op; int32_t len; };
+
+template <class T, size_t N>
+class SmallVec {
+    T* p_;
+    uint32_t size_ = 0;
+    uint32_t cap_ = N;
+    alignas(T) unsigned char inline_[N * sizeof(T)];
+    T* inl() { return reinterpret_cast<T*>(inline_); }
+    const T* inl() const { return reinterpret_cast<const T*>(inline_); }
+    void grow(uint32_t want) {
+        uint32_t nc = cap_;
+        while (nc < want) nc *= 2;
+        T* np = (T*)malloc((size_t)nc * sizeof(T));
+        memcpy(np, p_, (size_t)size_ * sizeof(T));
+        if (p_ != inl()) free(p_);
+        p_ = np;
+        cap_ = nc;
+    }
+
+ public:
+    SmallVec() : p_(inl()) {}
+    SmallVec(const SmallVec& o) : p_(inl()) { assign(o.begin(), o.end()); }
+    SmallVec(SmallVec&& o) noexcept : p_(inl()) {
+        *this = std::move(o);
+    }
+    SmallVec(const T* a, const T* b) : p_(inl()) { assign(a, b); }
+    SmallVec& operator=(const SmallVec& o) {
+        if (this != &o) assign(o.begin(), o.end());
+        return *this;
+    }
+    SmallVec& operator=(SmallVec&& o) noexcept {
+        if (this == &o) return *this;
+        if (o.p_ != o.inl()) {
+            if (p_ != inl()) free(p_);
+            p_ = o.p_;
+            size_ = o.size_;
+            cap_ = o.cap_;
+            o.p_ = o.inl();
+            o.size_ = 0;
+            o.cap_ = N;
+        } else {
+            assign(o.begin(), o.end());
+            o.size_ = 0;
+        }
+        return *this;
+    }
+    ~SmallVec() { if (p_ != inl()) free(p_); }
+
+    T* begin() { return p_; }
+    T* end() { return p_ + size_; }
+    const T* begin() const { return p_; }
+    const T* end() const { return p_ + size_; }
+    size_t size() const { return size_; }
+    bool empty() const { return size_ == 0; }
+    T& operator[](size_t i) { return p_[i]; }
+    const T& operator[](size_t i) const { return p_[i]; }
+    T& front() { return p_[0]; }
+    T& back() { return p_[size_ - 1]; }
+    void clear() { size_ = 0; }
+    void reserve(size_t n) { if (n > cap_) grow((uint32_t)n); }
+    void push_back(const T& v) {
+        if (size_ == cap_) grow(size_ + 1);
+        p_[size_++] = v;
+    }
+    void resize(size_t n) {
+        if (n > cap_) grow((uint32_t)n);
+        for (size_t i = size_; i < n; i++) p_[i] = T{};
+        size_ = (uint32_t)n;
+    }
+    void assign(const T* a, const T* b) {
+        size_t n = (size_t)(b - a);
+        if (n > cap_) grow((uint32_t)n);
+        memmove(p_, a, n * sizeof(T));
+        size_ = (uint32_t)n;
+    }
+    void insert(T* pos, const T& v) {
+        size_t at = (size_t)(pos - p_);
+        if (size_ == cap_) grow(size_ + 1);
+        memmove(p_ + at + 1, p_ + at, (size_ - at) * sizeof(T));
+        p_[at] = v;
+        size_++;
+    }
+    void insert(T* pos, const T* a, const T* b) {
+        size_t at = (size_t)(pos - p_);
+        size_t n = (size_t)(b - a);
+        if (size_ + n > cap_) grow((uint32_t)(size_ + n));
+        memmove(p_ + at + n, p_ + at, (size_ - at) * sizeof(T));
+        memmove(p_ + at, a, n * sizeof(T));
+        size_ += (uint32_t)n;
+    }
+    void erase(T* pos) {
+        size_t at = (size_t)(pos - p_);
+        memmove(p_ + at, p_ + at + 1, (size_ - at - 1) * sizeof(T));
+        size_--;
+    }
+};
+
+using EOL = SmallVec<EO, 8>;
 
 static void eol_merge_back(EOL& a, EOL& b) {
     if (b.empty()) return;
@@ -285,8 +387,11 @@ struct State {
     std::vector<uint8_t> fwd_codes, rev_codes, rev_chars;
     Rng rng;
 
-    // Clump storage: deque gives stable pointers; cleared per read.
+    // Clump storage: deque gives stable pointers; slots are REUSED
+    // across reads (high-water reset) so clump-level vector capacities
+    // persist instead of re-mallocing per clump.
     std::deque<Clump> arena;
+    size_t arena_used = 0;
     std::vector<Clump*> clumps;
     int64_t primary_count = 0;
 
@@ -300,7 +405,19 @@ struct State {
     std::vector<uint8_t> buf_q, buf_r;
 
     Clump* new_clump() {
+        if (arena_used < arena.size()) {
+            Clump* c = &arena[arena_used++];
+            c->eol.clear();
+            c->sfrags.clear();
+            c->tot_score = c->tot_length = c->matched_bases = 0;
+            c->mismatched_bases = c->gap_bases = 0;
+            c->num_secondaries = c->matched_primary = 0;
+            c->status = 0;
+            c->map_quality = 255;
+            return c;
+        }
         arena.emplace_back();
+        arena_used = arena.size();
         return &arena.back();
     }
     void add_clump(Clump* c, bool rev) {
@@ -379,12 +496,127 @@ static int64_t ext_back_perfect(Frag& f, const uint8_t* genome,
 enum { OP_U = 0, OP_M = 1, OP_R = 2, OP_I = 3, OP_D = 4 };
 static const char kOpChars[5] = {'U', 'M', 'R', 'I', 'D'};
 
+// Small-extension DP on stack arrays (bit-exact twin of
+// yt_extension_forward + banded traceback for qlen <= 24, bw <= 8).
+// Extensions at short read lengths average ~14 rows; the generic path's
+// scratch machinery costs as much as the DP itself.
+static int64_t ext_dp_small(const Params& aa, const uint8_t* q,
+                            int64_t qlen, const uint8_t* r, int64_t rlen,
+                            bool reverse, EOL& items, int64_t* aq,
+                            int64_t* ar) {
+    const int32_t WORST = -(0x7FFFFF00);
+    const int32_t bw2 = (int32_t)(2 * aa.band_width);
+    const int32_t w = 2 * bw2 + 1;
+    constexpr int64_t QN = 25, WN = 33;
+    int8_t eo[QN * WN];
+    int8_t idc[QN * WN];
+    int32_t pvb[WN + 2], pfb[WN + 2], pib[WN + 2];
+    const int32_t go = (int32_t)aa.go_cost, ge = (int32_t)aa.ge_cost;
+    const int32_t rc = (int32_t)aa.r_cost, ms = (int32_t)aa.m_score;
+    const int64_t max_gap = aa.max_gap, max_intron = aa.max_intron;
+    const int32_t x_cutoff = (int32_t)aa.x_cutoff;
+    for (int32_t j = 0; j < w; j++) {
+        if (j > bw2) {
+            pvb[j] = -(go + (j - bw2) * ge);
+            eo[j] = OP_D;
+            idc[j] = (int8_t)(j - bw2);
+        } else {
+            pvb[j] = (j == bw2) ? 0 : WORST;
+            eo[j] = OP_U;
+            idc[j] = 0;
+        }
+        pfb[j] = (j == bw2) ? 0 : WORST;
+        pib[j] = 0;
+    }
+    pvb[w] = WORST; pfb[w] = WORST; pib[w] = 0;
+    for (int32_t i = 1; i <= bw2 && i <= qlen; i++) {
+        eo[i * w + (bw2 - i)] = OP_I;
+        idc[i * w + (bw2 - i)] = (int8_t)i;
+    }
+    int32_t max_score = WORST, maxi = 0, maxj = 0;
+    for (int32_t i = 1; i <= qlen; i++) {
+        int32_t start_col = bw2 + 1 - i;
+        int32_t pv_col;
+        if (start_col <= 0) { start_col = 0; pv_col = WORST; }
+        else { pv_col = -(go + i * ge); pvb[start_col - 1] = pv_col; }
+        int32_t end_col = bw2 + (int32_t)rlen - i;
+        if (end_col > w - 1) end_col = w - 1;
+        int32_t pe_col = WORST, pd_col = 0;
+        int32_t row_max = WORST;
+        int q_char = q[i - 1];
+        int8_t* __restrict__ eor = eo + i * w;
+        int8_t* __restrict__ idr = idc + i * w;
+        const uint8_t* __restrict__ rrow = r + i - bw2 - 1;
+        for (int32_t j = start_col; j <= end_col; j++) {
+            int32_t v = pvb[j];
+            int r_char = rrow[j];
+            int8_t opcode = (q_char == r_char) ? OP_M : OP_R;
+            int32_t g = (q_char == r_char) ? v + ms : v - rc;
+            int32_t cell_idc = 0;
+            int32_t ce = pe_col - ge;
+            int32_t ne = pv_col - (go + ge);
+            if (ce >= ne && pd_col + 1 <= max_intron) {
+                pe_col = ce; pd_col += 1;
+            } else { pe_col = ne; pd_col = 1; }
+            int32_t v1;
+            if (pe_col >= g) { v1 = pe_col; opcode = OP_D;
+                               cell_idc = pd_col; }
+            else v1 = g;
+            int32_t cf = pfb[j + 1] - ge;
+            int32_t nf = pvb[j + 1] - (go + ge);
+            int32_t f, ii;
+            if (cf >= nf && pib[j + 1] + 1 <= max_gap) {
+                f = cf; ii = pib[j + 1] + 1;
+            } else { f = nf; ii = 1; }
+            int32_t v2;
+            if (f >= v1) { v2 = f; opcode = OP_I; cell_idc = ii; }
+            else v2 = v1;
+            pfb[j] = f;
+            pib[j] = ii;
+            eor[j] = opcode;
+            if (opcode >= OP_I) idr[j] = (int8_t)cell_idc;
+            if (v2 > row_max) row_max = v2;
+            if (v2 > max_score) { max_score = v2; maxi = i; maxj = j; }
+            pvb[j] = v2;
+            pv_col = v2;
+        }
+        if (row_max < max_score - x_cutoff) break;
+    }
+    items.clear();
+    if (max_score <= 0) { *aq = 0; *ar = 0; return max_score; }
+    int64_t x = maxj, y = maxi;
+    int prev = eo[y * w + x];
+    int64_t op_len = 0;
+    for (;;) {
+        int code = eo[y * w + x];
+        if (code == OP_U) break;
+        int64_t length = idc[y * w + x];
+        if (code == OP_D) x -= length;
+        else if (code == OP_I) { x += length; y -= length; }
+        else { y -= 1; length = 1; }
+        if (prev != code) {
+            items.push_back({kOpChars[prev], (int32_t)op_len});
+            prev = code;
+            op_len = length;
+        } else {
+            op_len += length;
+        }
+    }
+    items.push_back({kOpChars[prev], (int32_t)op_len});
+    if (!reverse) std::reverse(items.begin(), items.end());
+    *aq = maxi;
+    *ar = maxi + (maxj - bw2);
+    return max_score;
+}
+
 // Banded X-dropoff extension (findAGSExtension DP arm) + run-length
 // backtrack (ops/dp_common.py traceback_extension).
 static int64_t ext_dp(State& st, const uint8_t* q, int64_t qlen,
                       const uint8_t* r, int64_t rlen, bool reverse,
                       EOL& items, int64_t* aq, int64_t* ar) {
     const Params& aa = *st.aa;
+    if (qlen <= 24 && aa.band_width <= 8)
+        return ext_dp_small(aa, q, qlen, r, rlen, reverse, items, aq, ar);
     const int64_t bw2 = 2 * aa.band_width;
     const int64_t w = 2 * bw2 + 1;
     size_t need = (size_t)((qlen + 1) * w);
@@ -418,14 +650,14 @@ static int64_t ext_dp(State& st, const uint8_t* q, int64_t qlen,
         else if (code == OP_I) { x += length; y -= length; }
         else { y -= 1; length = 1; }
         if (prev != code) {
-            items.push_back({kOpChars[prev], op_len});
+            items.push_back({kOpChars[prev], (int32_t)op_len});
             prev = code;
             op_len = length;
         } else {
             op_len += length;
         }
     }
-    items.push_back({kOpChars[prev], op_len});
+    items.push_back({kOpChars[prev], (int32_t)op_len});
     if (!reverse) std::reverse(items.begin(), items.end());
     *aq = maxi;
     *ar = maxi + (maxj - bw2);
@@ -526,14 +758,14 @@ static int64_t anchored_dp_small(const Params& aa, const uint8_t* q,
         else if (code == OP_I) y -= length;
         else { x -= 1; y -= 1; length = 1; }
         if (prev != code) {
-            items.push_back({kOpChars[prev], op_len});
+            items.push_back({kOpChars[prev], (int32_t)op_len});
             prev = code;
             op_len = length;
         } else {
             op_len += length;
         }
     }
-    items.push_back({kOpChars[prev], op_len});
+    items.push_back({kOpChars[prev], (int32_t)op_len});
     std::reverse(items.begin(), items.end());
     return score;
 }
@@ -573,14 +805,14 @@ static int64_t anchored_dp(State& st, const uint8_t* q, int64_t qlen,
         else if (code == OP_I) y -= length;
         else { x -= 1; y -= 1; length = 1; }
         if (prev != code) {
-            items.push_back({kOpChars[prev], op_len});
+            items.push_back({kOpChars[prev], (int32_t)op_len});
             prev = code;
             op_len = length;
         } else {
             op_len += length;
         }
     }
-    items.push_back({kOpChars[prev], op_len});
+    items.push_back({kOpChars[prev], (int32_t)op_len});
     std::reverse(items.begin(), items.end());
     return score;
 }
@@ -797,10 +1029,10 @@ static bool make_and_align_gap(State& st, SFrag& sf1, SFrag& sf2,
     nf.set_ero(frag2.sro - 1);
     EOL& lst = new_sf.eol;
     if (q_gap == 0) {
-        lst.push_back({'D', r_gap});
+        lst.push_back({'D', (int32_t)r_gap});
         new_sf.score = calc_gap_cost(r_gap, aa);
     } else if (r_gap == 0) {
-        lst.push_back({'I', q_gap});
+        lst.push_back({'I', (int32_t)q_gap});
         new_sf.score = calc_gap_cost(q_gap, aa);
     } else if (r_gap == 1 && q_gap == 1) {
         lst.push_back({'R', 1});
@@ -927,7 +1159,7 @@ static void align_clump(State& st, Clump& clump) {
     // Per-fragment Match edit op + score.
     for (SFrag& sf : sfrags) {
         int64_t q_len = sf.frag.qlen();
-        sf.eol.insert(sf.eol.begin(), {'M', q_len});
+        sf.eol.insert(sf.eol.begin(), {'M', (int32_t)q_len});
         sf.score = aa.m_score * q_len;
     }
 
@@ -1649,10 +1881,12 @@ static void print_clump(State& st, Clump& clump, std::string& out) {
         EOL& lst = clump.eol;
         // Clips appended at print time (AlignOutput.c:165-171).
         int64_t clip = st.q_len - 1 - frag0.eqo;
-        if (clip > 0) lst.push_back({aa.hard_clip ? 'H' : 'S', clip});
+        if (clip > 0)
+            lst.push_back({aa.hard_clip ? 'H' : 'S', (int32_t)clip});
         clip = frag0.sqo;
         if (clip > 0)
-            lst.insert(lst.begin(), {aa.hard_clip ? 'H' : 'S', clip});
+            lst.insert(lst.begin(),
+                       {aa.hard_clip ? 'H' : 'S', (int32_t)clip});
 
         // CIGAR: M/R merged.
         int64_t matches = 0;
@@ -1825,7 +2059,7 @@ static std::pair<int64_t, int64_t> align_read(State& st, std::string& out,
     uint32_t seed[5];
     query_seed(st.fwd_codes.data(), st.q_len, seed);
     memcpy(st.rng.s, seed, sizeof seed);
-    st.arena.clear();
+    st.arena_used = 0;
     st.clumps.clear();
     st.primary_count = 0;
     double t0 = prof ? now_s() : 0;
