@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--err", type=float, default=0.02)
     ap.add_argument("--flank", type=int, default=600)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--cgr", action="store_true",
+                    help="complex-rearrangement mode (CGR_Events analog): "
+                         "each contig chains 3-6 segments from scattered "
+                         "loci with inversions, ~30 kb total; reads are "
+                         "the whole contigs (SVsim -l style)")
     args = ap.parse_args()
 
     from yaha_tpu.io import nib2
@@ -57,6 +62,52 @@ def main():
             return c, cs, p
 
     fl = args.flank
+    comp2 = comp
+    if args.cgr:
+        # CGR mode: one contig = 3-6 distal segments (some inverted);
+        # every junction is a truth breakpoint.
+        fa_path = args.out_prefix + ".fasta"
+        bedpe_path = args.out_prefix + ".sim.bedpe"
+        with open(fa_path, "wb") as ff, open(bedpe_path, "w") as fb:
+            for i in range(args.events):
+                n_seg = int(rng.integers(3, 7))
+                segs = []
+                for _ in range(n_seg):
+                    size = int(rng.integers(3000, 9000))
+                    c, cs, p = pick_locus(size)
+                    piece = chars(cs + p, size)
+                    inv = rng.random() < 0.4
+                    if inv:
+                        piece = piece.translate(comp2)[::-1]
+                    segs.append((genome.names[c], p, size, inv, piece))
+                contig = b"".join(s[4] for s in segs)
+                # Mutations (E1-style 1% with 10% small indels).
+                if args.err > 0:
+                    r = bytearray(contig)
+                    nerr = rng.binomial(len(r), args.err)
+                    for _ in range(int(nerr)):
+                        j = int(rng.integers(0, len(r)))
+                        if rng.random() < 0.1:
+                            if rng.random() < 0.5 and len(r) > 1:
+                                del r[j]
+                            else:
+                                r.insert(j, bases[rng.integers(0, 4)])
+                        else:
+                            r[j] = bases[rng.integers(0, 4)]
+                    contig = bytes(r)
+                ff.write(b">CGR%d\n" % i)
+                for k in range(0, len(contig), 70):
+                    ff.write(contig[k:k + 70] + b"\n")
+                for (na, pa, sa, ia, _), (nb, pb, sb, ib, _) in zip(
+                        segs, segs[1:]):
+                    ea = pa if ia else pa + sa - 1
+                    sb_ = pb + sb - 1 if ib else pb
+                    fb.write("%s\t%d\t%d\t%s\t%d\t%d\tCGR\n" %
+                             (na, ea - 1, ea, nb, sb_, sb_ + 1))
+        print("wrote %s + %s (%d CGR contigs)" %
+              (fa_path, bedpe_path, args.events))
+        return
+
     events = []      # (name, contig bytes, bedpe row)
     kinds = ["DEL", "DUP", "INV", "INS"]
     for i in range(args.events):
