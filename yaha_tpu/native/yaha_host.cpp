@@ -17,6 +17,7 @@
 #include <string>
 #include <vector>
 #include <algorithm>
+#include <mutex>
 
 extern "C" {
 
@@ -696,6 +697,16 @@ static double _now_s() {
     clock_gettime(CLOCK_MONOTONIC, &ts);
     return ts.tv_sec + ts.tv_nsec * 1e-9;
 }
+// Profiling accumulation is gated (magic-static init is thread-safe)
+// and mutex-guarded so -t runs stay race-free (TSAN-clean).
+static bool _prof_on() {
+    static const bool v = [] {
+        const char* e = getenv("YT_PROFILE");
+        return e && *e && *e != '0';
+    }();
+    return v;
+}
+static std::mutex _prof_mu;
 
 int64_t yt_seed_to_clumps(
         const uint8_t* codes, int64_t q_len, int64_t word_len,
@@ -745,6 +756,7 @@ int64_t yt_seed_to_clumps(
     frs.clear();
     epoch++;
     uint64_t etag = (uint64_t)epoch << 32;
+    const bool prof = _prof_on();
 
     auto emit_run = [&](const Run& r) {
         frs.push_back({((uint64_t)r.diag << 32) | (uint64_t)r.sqo, r.eqo});
@@ -803,7 +815,7 @@ int64_t yt_seed_to_clumps(
         }
     };
 
-    double _t0 = _now_s();
+    double _t0 = prof ? _now_s() : 0;
     // Three passes so the SO and ROA random accesses (the memory-latency
     // wall of the seed phase) are software-prefetched ahead:
     //   A: rolling hash -> per-window hash codes
@@ -872,8 +884,12 @@ int64_t yt_seed_to_clumps(
         clump_offs[0] = 0;
         return 0;
     }
-    double _t1 = _now_s();
-    yt_prof_scan += _t1 - _t0; yt_prof_hits += total_hits;
+    double _t1 = prof ? _now_s() : 0;
+    if (prof) {
+        std::lock_guard<std::mutex> g(_prof_mu);
+        yt_prof_scan += _t1 - _t0;
+        yt_prof_hits += total_hits;
+    }
     for (const Run& r : runs) emit_run(r);
     static thread_local std::vector<int64_t> fsqo, feqo, fsro;
     fsqo.clear(); feqo.clear(); fsro.clear();
@@ -911,15 +927,22 @@ int64_t yt_seed_to_clumps(
         }
     }
 
-    double _t2 = _now_s();
-    yt_prof_sort += _t2 - _t1; yt_prof_frags += (int64_t)fsqo.size();
+    double _t2 = prof ? _now_s() : 0;
+    if (prof) {
+        std::lock_guard<std::mutex> g(_prof_mu);
+        yt_prof_sort += _t2 - _t1;
+        yt_prof_frags += (int64_t)fsqo.size();
+    }
     int64_t _rv = yt_frags_to_clumps(
         fsqo.data(), feqo.data(), fsro.data(), (int64_t)fsqo.size(), q_len,
         max_gap, max_desert, min_match, min_non_overlap, m_score, go_cost,
         ge_cost, band_width, word_len,
         out_sqo, out_eqo, out_sro, clump_offs, clump_matched,
         cap_frags, cap_clumps);
-    yt_prof_f2c += _now_s() - _t2;
+    if (prof) {
+        std::lock_guard<std::mutex> g(_prof_mu);
+        yt_prof_f2c += _now_s() - _t2;
+    }
     return _rv;
 }
 

@@ -145,12 +145,12 @@ struct Prof {
 };
 static thread_local Prof* g_prof = nullptr;
 static bool prof_enabled() {
-    static int v = -1;
-    if (v < 0) {
+    // Magic-static init: thread-safe (TSAN-clean under -t).
+    static const bool v = [] {
         const char* e = getenv("YT_PROFILE");
-        v = (e && *e && *e != '0') ? 1 : 0;
-    }
-    return v == 1;
+        return e && *e && *e != '0';
+    }();
+    return v;
 }
 static inline double now_s() {
     return (double)std::chrono::duration_cast<std::chrono::nanoseconds>(
