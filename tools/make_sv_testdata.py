@@ -72,8 +72,11 @@ def main():
             for i in range(args.events):
                 n_seg = int(rng.integers(3, 7))
                 segs = []
+                # Keep contigs ~30 kb (the real CGR_Events contig size,
+                # inside the reference's 32 kb read cap).
+                max_seg = 30000 // n_seg
                 for _ in range(n_seg):
-                    size = int(rng.integers(3000, 9000))
+                    size = int(rng.integers(2000, max_seg))
                     c, cs, p = pick_locus(size)
                     piece = chars(cs + p, size)
                     inv = rng.random() < 0.4
