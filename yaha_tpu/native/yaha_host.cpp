@@ -19,6 +19,11 @@
 #include <algorithm>
 #include <mutex>
 
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__)
+#include <immintrin.h>
+#define YT_HAVE_AVX512 1
+#endif
+
 extern "C" {
 
 // ---------- shared ----------
@@ -691,6 +696,7 @@ int64_t yt_frags_to_clumps(
 // stage above.  One call replaces the per-read numpy pipeline, whose
 // per-op overhead dominates at short read lengths.
 double yt_prof_scan = 0, yt_prof_sort = 0, yt_prof_f2c = 0;
+double yt_prof_scan_a = 0, yt_prof_scan_b = 0, yt_prof_scan_c = 0;
 int64_t yt_prof_hits = 0, yt_prof_frags = 0;
 static double _now_s() {
     struct timespec ts;
@@ -838,9 +844,13 @@ int64_t yt_seed_to_clumps(
             win_h[(size_t)(p - word_len + 1)] = (int32_t)h;
         }
     }
+    double _ta = prof ? _now_s() : 0;
     int64_t total_hits = 0;
     {
-        const int64_t PD = 16;
+        const int64_t PD = 64;
+        run_qo.reserve((size_t)n_win);
+        run_off.reserve((size_t)n_win);
+        run_cnt.reserve((size_t)n_win);
         for (int64_t i = 0; i < n_win; i++) {
             if (i + PD < n_win && win_h[(size_t)(i + PD)] >= 0)
                 __builtin_prefetch(&so[win_h[(size_t)(i + PD)]]);
@@ -854,6 +864,7 @@ int64_t yt_seed_to_clumps(
             run_cnt.push_back((int32_t)cnt);
         }
     }
+    double _tb = prof ? _now_s() : 0;
     {
         const size_t PD = 4;
         for (size_t t = 0; t < run_qo.size(); t++) {
@@ -888,6 +899,9 @@ int64_t yt_seed_to_clumps(
     if (prof) {
         std::lock_guard<std::mutex> g(_prof_mu);
         yt_prof_scan += _t1 - _t0;
+        yt_prof_scan_a += _ta - _t0;
+        yt_prof_scan_b += _tb - _ta;
+        yt_prof_scan_c += _t1 - _tb;
         yt_prof_hits += total_hits;
     }
     for (const Run& r : runs) emit_run(r);
@@ -1200,6 +1214,242 @@ extern "C" {
 static const int32_t DP_WORST = -(0x7FFFFF00);
 enum { OP_U = 0, OP_M = 1, OP_R = 2, OP_I = 3, OP_D = 4 };
 
+#ifdef YT_HAVE_AVX512
+// Anti-diagonal wavefront fill for ONE banded X-dropoff extension
+// problem: a bit-exact reformulation of the scalar row sweep below
+// (SW.cpp:959-1094 semantics).  In band coordinates (row i, band column
+// j), every cell depends only on earlier anti-diagonals s = 2i + j:
+//     match/replace <- (i-1, j)    on s-2
+//     delete (E)    <- (i,   j-1)  on s-1   (same row)
+//     insert (F)    <- (i-1, j+1)  on s-1   (row above)
+// so all cells of one anti-diagonal are independent.  A band of width
+// w <= 31 holds at most ceil(w/2) <= 16 active rows per anti-diagonal,
+// i.e. one AVX-512 vector covers the whole wavefront step.
+//
+// The scalar loop's row-major max/argmax (strict >, first cell wins) and
+// its per-row X-dropoff exit are reconstructed exactly: per-row maxima
+// are tracked with the same strict-> update (within a row, j increases
+// with s, preserving scan order), and rows are finalized in increasing i
+// as they complete (s_end(i) is strictly increasing in i), applying the
+// same `row_max < max - x_cutoff` exit.  On exit, partially-computed
+// rows beyond the exit row are re-zeroed so the eo/idc arrays are
+// byte-identical to the scalar fill (callers pass zeroed arrays).
+static void ext_wavefront_one(
+        const uint8_t* qp, const uint8_t* rp, int32_t qlen, int32_t rlen,
+        int bw2, int w, int go, int ge, int rc, int ms,
+        int32_t mi_cap, int32_t mg_cap, int x_cutoff,
+        int8_t* eop, int32_t* idp,
+        int32_t* score_out, int32_t* maxi_out, int32_t* maxj_out) {
+    const int32_t WORST = DP_WORST;
+    // 11 rolling lane buffers indexed by absolute row i (triple-buffered
+    // V, double-buffered E/PD/F/PI), padded so 16-lane unaligned
+    // loads/stores at [i-1 .. i+16] never leave the allocation.
+    static thread_local std::vector<int32_t> bufs;
+    const int64_t stride = (int64_t)qlen + 40;
+    if ((int64_t)bufs.size() < stride * 11) bufs.resize(stride * 11);
+    int32_t* v0 = bufs.data() + 8;
+    int32_t* v1 = v0 + stride;
+    int32_t* v2 = v1 + stride;
+    int32_t* e0 = v2 + stride;
+    int32_t* e1 = e0 + stride;
+    int32_t* pd0 = e1 + stride;
+    int32_t* pd1 = pd0 + stride;
+    int32_t* f0 = pd1 + stride;
+    int32_t* f1 = f0 + stride;
+    int32_t* pi0 = f1 + stride;
+    int32_t* pi1 = pi0 + stride;
+    static thread_local std::vector<int32_t> rowm_v, rowj_v;
+    if ((int64_t)rowm_v.size() < (int64_t)qlen + 24) {
+        rowm_v.resize((size_t)qlen + 24);
+        rowj_v.resize((size_t)qlen + 24);
+    }
+    int32_t* rowm = rowm_v.data();
+    int32_t* rowj = rowj_v.data();
+    for (int64_t i = 0; i <= qlen + 1; i++) rowm[i] = WORST;
+    // Prime: v1/e1/f1 hold anti-diagonal bw2+1, v2 holds bw2.
+    //   (0, bw2):   V = 0                        [origin]
+    //   (0, bw2+1): V = -(go+ge), F = WORST      [row-0 delete boundary]
+    //   (1, bw2-0-1=bw2? enter boundary): V(1, start_col(1)-1) = -(go+ge)
+    v1[0] = -(go + ge);
+    v1[1] = -(go + ge);
+    v2[0] = 0;
+    f1[0] = WORST;
+    pi1[0] = 0;
+    e1[1] = WORST;
+    pd1[1] = 0;
+
+    const __m512i vge = _mm512_set1_epi32(ge);
+    const __m512i vgoge = _mm512_set1_epi32(go + ge);
+    const __m512i vms = _mm512_set1_epi32(ms);
+    const __m512i vmrc = _mm512_set1_epi32(-rc);
+    const __m512i vone = _mm512_set1_epi32(1);
+    const __m512i vmi1 = _mm512_set1_epi32(mi_cap - 1);
+    const __m512i vmg1 = _mm512_set1_epi32(mg_cap - 1);
+    const __m512i vopM = _mm512_set1_epi32(OP_M);
+    const __m512i vopR = _mm512_set1_epi32(OP_R);
+    const __m512i vopD = _mm512_set1_epi32(OP_D);
+    const __m512i vopI = _mm512_set1_epi32(OP_I);
+    const __m512i vlane2 = _mm512_setr_epi32(0, 2, 4, 6, 8, 10, 12, 14,
+                                             16, 18, 20, 22, 24, 26, 28,
+                                             30);
+    const __m512i vrev = _mm512_setr_epi32(15, 14, 13, 12, 11, 10, 9, 8,
+                                           7, 6, 5, 4, 3, 2, 1, 0);
+
+    int32_t gmax = WORST, gmaxi = 0, gmaxj = 0;
+    int64_t next_row = 1;
+    bool exited = false;
+    const int64_t s_last =
+        std::min<int64_t>(2LL * qlen + (w - 1), (int64_t)qlen + bw2 + rlen);
+    int64_t s = bw2 + 2;
+    int64_t max_touched_row = 0;
+    alignas(64) int32_t tmp_op[16], tmp_id[16];
+    for (; s <= s_last; s++) {
+        // Active rows on this anti-diagonal.
+        int64_t ilo = 1;
+        int64_t t = s - w + 1;
+        if (t > 0) { int64_t c = (t + 1) >> 1; if (c > ilo) ilo = c; }
+        if (s - bw2 - rlen > ilo) ilo = s - bw2 - rlen;
+        int64_t ihi = (int64_t)qlen;
+        if ((s >> 1) < ihi) ihi = s >> 1;
+        if (s - bw2 - 1 < ihi) ihi = s - bw2 - 1;
+        if (ihi >= ilo) {
+            if (ihi > max_touched_row) max_touched_row = ihi;
+            const int nact = (int)(ihi - ilo + 1);
+            const __mmask16 amask = (__mmask16)((1u << nact) - 1);
+            // q codes: lane l = q[ilo+l-1] (contiguous).
+            __m128i qb = _mm_maskz_loadu_epi8(amask, qp + ilo - 1);
+            __m512i qv = _mm512_cvtepu8_epi32(qb);
+            // r codes: lane l = r[s-bw2-(ilo+l)-1] (contiguous reversed).
+            // Valid lanes l < nact read indices >= s-bw2-ihi-1 >= 0; load
+            // the 16-byte window ending at s-bw2-ilo-1 with the high-nact
+            // byte mask, then reverse lanes.
+            const int64_t rbase = s - bw2 - ilo - 1;
+            __mmask16 rmask = (__mmask16)(0xFFFFu << (16 - nact));
+            __m128i rb = _mm_maskz_loadu_epi8(rmask, rp + rbase - 15);
+            __m512i rv = _mm512_permutexvar_epi32(
+                vrev, _mm512_cvtepu8_epi32(rb));
+            __m512i vd = _mm512_loadu_si512(v2 + ilo - 1);
+            __m512i vdel = _mm512_loadu_si512(v1 + ilo);
+            __m512i vins = _mm512_loadu_si512(v1 + ilo - 1);
+            __m512i e_in = _mm512_loadu_si512(e1 + ilo);
+            __m512i pdv = _mm512_loadu_si512(pd1 + ilo);
+            __m512i f_in = _mm512_loadu_si512(f1 + ilo - 1);
+            __m512i piv = _mm512_loadu_si512(pi1 + ilo - 1);
+            __mmask16 meq = _mm512_cmpeq_epi32_mask(qv, rv);
+            __m512i g = _mm512_add_epi32(
+                vd, _mm512_mask_mov_epi32(vmrc, meq, vms));
+            __m512i ce = _mm512_sub_epi32(e_in, vge);
+            __m512i ne = _mm512_sub_epi32(vdel, vgoge);
+            __mmask16 kd = _mm512_kand(
+                _mm512_cmp_epi32_mask(ce, ne, _MM_CMPINT_NLT),
+                _mm512_cmp_epi32_mask(pdv, vmi1, _MM_CMPINT_LE));
+            __m512i e_o = _mm512_mask_mov_epi32(ne, kd, ce);
+            __m512i pd_o = _mm512_mask_add_epi32(vone, kd, pdv, vone);
+            __mmask16 td = _mm512_cmp_epi32_mask(e_o, g, _MM_CMPINT_NLT);
+            __m512i v1v = _mm512_mask_mov_epi32(g, td, e_o);
+            __m512i opv = _mm512_mask_mov_epi32(
+                _mm512_mask_mov_epi32(vopR, meq, vopM), td, vopD);
+            __m512i idv = _mm512_maskz_mov_epi32(td, pd_o);
+            __m512i cf = _mm512_sub_epi32(f_in, vge);
+            __m512i nf = _mm512_sub_epi32(vins, vgoge);
+            __mmask16 ki = _mm512_kand(
+                _mm512_cmp_epi32_mask(cf, nf, _MM_CMPINT_NLT),
+                _mm512_cmp_epi32_mask(piv, vmg1, _MM_CMPINT_LE));
+            __m512i f_o = _mm512_mask_mov_epi32(nf, ki, cf);
+            __m512i pi_o = _mm512_mask_add_epi32(vone, ki, piv, vone);
+            __mmask16 ti = _mm512_cmp_epi32_mask(f_o, v1v, _MM_CMPINT_NLT);
+            __m512i v2v = _mm512_mask_mov_epi32(v1v, ti, f_o);
+            opv = _mm512_mask_mov_epi32(opv, ti, vopI);
+            idv = _mm512_mask_mov_epi32(idv, ti, pi_o);
+            _mm512_mask_storeu_epi32(v0 + ilo, amask, v2v);
+            _mm512_mask_storeu_epi32(e0 + ilo, amask, e_o);
+            _mm512_mask_storeu_epi32(pd0 + ilo, amask, pd_o);
+            _mm512_mask_storeu_epi32(f0 + ilo, amask, f_o);
+            _mm512_mask_storeu_epi32(pi0 + ilo, amask, pi_o);
+            // Row-major max: within a row j increases with s, so the
+            // strict-> update reproduces the scalar first-cell-wins rule.
+            __m512i rmv = _mm512_loadu_si512(rowm + ilo);
+            __mmask16 mb = _mm512_kand(
+                amask, _mm512_cmp_epi32_mask(v2v, rmv, _MM_CMPINT_NLE));
+            _mm512_mask_storeu_epi32(rowm + ilo, mb, v2v);
+            __m512i vj = _mm512_sub_epi32(
+                _mm512_set1_epi32((int32_t)(s - 2 * ilo)), vlane2);
+            _mm512_mask_storeu_epi32(rowj + ilo, mb, vj);
+            // eo/idc scatter: lane l -> [(ilo+l)*w + (j0-2l)], stride w-2.
+            _mm512_store_si512(tmp_op, opv);
+            _mm512_store_si512(tmp_id, idv);
+            int8_t* e_sc = eop + ilo * w + (s - 2 * ilo);
+            int32_t* i_sc = idp + ilo * w + (s - 2 * ilo);
+            for (int l = 0; l < nact; l++) {
+                e_sc[(int64_t)l * (w - 2)] = (int8_t)tmp_op[l];
+                if (tmp_op[l] >= OP_I)
+                    i_sc[(int64_t)l * (w - 2)] = tmp_id[l];
+            }
+        }
+        // Sentinels for the next two anti-diagonals.
+        //  - below the window (lane ilo-1 = virtual cell right of the
+        //    band / past rlen), except row 0 cells while s <= w-1;
+        //  - above the window (lane ihi+1 = the row about to enter):
+        //    its row-start boundary V and a fresh E chain.
+        if (ilo == 1 && s <= w - 1) {
+            v0[0] = (s == bw2) ? 0
+                    : (s > bw2) ? -(go + (int32_t)(s - bw2) * ge)
+                                : WORST;
+            f0[0] = (s == bw2) ? 0 : WORST;
+            pi0[0] = 0;
+        } else {
+            v0[ilo - 1] = WORST;
+            f0[ilo - 1] = WORST;
+            pi0[ilo - 1] = 0;
+        }
+        int64_t i_n = ihi + 1;
+        if (i_n >= ilo) {
+            v0[i_n] = (i_n <= bw2) ? -(go + (int32_t)i_n * ge) : WORST;
+            e0[i_n] = WORST;
+            pd0[i_n] = 0;
+        }
+        // Finalize completed rows in order (the scalar row loop order).
+        while (next_row <= qlen) {
+            int64_t se = 2 * next_row + (w - 1);
+            int64_t se2 = next_row + bw2 + rlen;
+            if (se2 < se) se = se2;
+            if (se > s) break;
+            int32_t rm = rowm[next_row];
+            if (rm > gmax) {
+                gmax = rm;
+                gmaxi = (int32_t)next_row;
+                gmaxj = rowj[next_row];
+            }
+            if (rm < gmax - x_cutoff) { exited = true; break; }
+            next_row++;
+        }
+        if (exited) break;
+        // Rotate: v2 <- v1 <- v0 <- (old v2); swap E/PD/F/PI pairs.
+        int32_t* tv = v2; v2 = v1; v1 = v0; v0 = tv;
+        std::swap(e0, e1);
+        std::swap(pd0, pd1);
+        std::swap(f0, f1);
+        std::swap(pi0, pi1);
+    }
+    if (exited) {
+        // Re-zero rows the scalar loop never reached (it breaks after
+        // row next_row): their partially-filled wavefront cells must not
+        // survive (callers pass zeroed eo/idc; tests compare them).
+        for (int64_t i = next_row + 1; i <= max_touched_row; i++) {
+            int64_t sc = bw2 + 1 - i; if (sc < 0) sc = 0;
+            int64_t ec = bw2 + rlen - i;
+            if (ec > w - 1) ec = w - 1;
+            if (ec < sc) continue;
+            memset(eop + i * w + sc, 0, (size_t)(ec - sc + 1));
+            memset(idp + i * w + sc, 0, (size_t)(ec - sc + 1) * 4);
+        }
+    }
+    *score_out = gmax;
+    *maxi_out = gmaxi;
+    *maxj_out = gmaxj;
+}
+#endif  // YT_HAVE_AVX512
+
 // Banded X-dropoff extension forward for n problems.
 //   q[n*qlmax], r[n*rlmax] (rlmax >= qlmax + 2*bw2), row-major uint8.
 //   eo [n*(qlmax+1)*w] int8, idc [...] int32, score/maxi/maxj [n] int32.
@@ -1212,6 +1462,18 @@ int yt_extension_forward(const uint8_t* q, const int32_t* qlens,
                          int32_t* maxi_out, int32_t* maxj_out) {
     const int bw2 = 2 * band_width;
     const int w = 2 * bw2 + 1;
+#ifdef YT_HAVE_AVX512
+    // The anti-diagonal wavefront covers bands up to 31 wide (<= 16
+    // active rows per anti-diagonal) in one AVX-512 vector step;
+    // YT_NO_WAVE=1 forces the scalar sweep (A/B parity testing).
+    static const bool no_wave = [] {
+        const char* e = getenv("YT_NO_WAVE");
+        return e && *e && *e != '0';
+    }();
+    const bool use_wave = (w <= 31) && !no_wave;
+#else
+    const bool use_wave = false;
+#endif
     static thread_local std::vector<int32_t> pv, pf, pi;
     pv.resize((size_t)w + 2); pf.resize((size_t)w + 2);
     pi.resize((size_t)w + 2);
@@ -1241,6 +1503,18 @@ int yt_extension_forward(const uint8_t* q, const int32_t* qlens,
             eop[(int64_t)i * w + (bw2 - i)] = OP_I;
             idp[(int64_t)i * w + (bw2 - i)] = i;
         }
+#ifdef YT_HAVE_AVX512
+        if (use_wave && qlen >= 1 && rlen >= 1) {
+            int32_t mi_cap = (int32_t)std::min<int64_t>(
+                (int64_t)max_intron, 0x3FFFFFFF);
+            int32_t mg_cap = (int32_t)std::min<int64_t>(
+                (int64_t)max_gap, 0x3FFFFFFF);
+            ext_wavefront_one(qp, rp, qlen, rlen, bw2, w, go, ge, rc, ms,
+                              mi_cap, mg_cap, x_cutoff, eop, idp,
+                              &score[kk], &maxi_out[kk], &maxj_out[kk]);
+            continue;
+        }
+#endif
         int32_t max_score = DP_WORST, maxi = 0, maxj = 0;
         int32_t* __restrict__ pvp = pv.data();
         int32_t* __restrict__ pfp = pf.data();

@@ -31,6 +31,7 @@
 // ---- functions from yaha_host.cpp (same shared object) ----
 extern "C" {
 extern double yt_prof_scan, yt_prof_sort, yt_prof_f2c;
+extern double yt_prof_scan_a, yt_prof_scan_b, yt_prof_scan_c;
 extern int64_t yt_prof_hits, yt_prof_frags;
 int64_t yt_seed_to_clumps(
     const uint8_t* codes, int64_t q_len, int64_t word_len,
@@ -2260,8 +2261,11 @@ int yt_align_batch(
                 (long long)sum.dpa_calls, sum.oqc,
                 sum.print, (long long)sum.clumps);
         fprintf(stderr,
-                "[yt_prof2] scan=%.3fs sort=%.3fs f2c=%.3fs hits=%lld "
-                "frags=%lld\n", yt_prof_scan, yt_prof_sort, yt_prof_f2c,
+                "[yt_prof2] scan=%.3fs (hash=%.3fs so=%.3fs roa=%.3fs) "
+                "sort=%.3fs f2c=%.3fs hits=%lld "
+                "frags=%lld\n", yt_prof_scan, yt_prof_scan_a,
+                yt_prof_scan_b, yt_prof_scan_c,
+                yt_prof_sort, yt_prof_f2c,
                 (long long)yt_prof_hits, (long long)yt_prof_frags);
 
     }
