@@ -141,8 +141,10 @@ static void query_seed(const uint8_t* codes, int64_t q_len, uint32_t* out) {
 // TIMING phase counters (Timing.inl).
 struct Prof {
     double front = 0, align = 0, oqc = 0, print = 0;
-    double s2c = 0, dp = 0, dpa = 0;
-    int64_t reads = 0, dp_calls = 0, dpa_calls = 0, clumps = 0;
+    double s2c = 0, dp = 0, dpa = 0, dps = 0, sc = 0, gapc = 0,
+           extfr = 0;
+    int64_t reads = 0, dp_calls = 0, dpa_calls = 0, dps_calls = 0,
+            clumps = 0;
 };
 static thread_local Prof* g_prof = nullptr;
 static bool prof_enabled() {
@@ -616,8 +618,13 @@ static int64_t ext_dp(State& st, const uint8_t* q, int64_t qlen,
                       const uint8_t* r, int64_t rlen, bool reverse,
                       EOL& items, int64_t* aq, int64_t* ar) {
     const Params& aa = *st.aa;
-    if (qlen <= 24 && aa.band_width <= 8)
-        return ext_dp_small(aa, q, qlen, r, rlen, reverse, items, aq, ar);
+    if (qlen <= 24 && aa.band_width <= 8) {
+        double ts = g_prof ? now_s() : 0;
+        int64_t rv =
+            ext_dp_small(aa, q, qlen, r, rlen, reverse, items, aq, ar);
+        if (g_prof) { g_prof->dps += now_s() - ts; g_prof->dps_calls++; }
+        return rv;
+    }
     const int64_t bw2 = 2 * aa.band_width;
     const int64_t w = 2 * bw2 + 1;
     size_t need = (size_t)((qlen + 1) * w);
@@ -1166,15 +1173,34 @@ static void align_clump(State& st, Clump& clump) {
 
     // Gap-fill SFragments (inserted after current; the inserted one is
     // visited next and yields zero gaps).
-    for (size_t i = 0; i + 1 < sfrags.size(); i++) {
-        SFrag new_sf;
-        if (make_and_align_gap(st, sfrags[i], sfrags[i + 1], q_codes,
-                               new_sf))
-            sfrags.insert(sfrags.begin() + (i + 1), std::move(new_sf));
+    double tg = g_prof ? now_s() : 0;
+    // Gap SFragments span exactly [frag1.eqo+1, frag2.sqo-1], so a gap
+    // never opens between an inserted SFragment and its right neighbor;
+    // building the interleaved list in one pass is equivalent to the
+    // reference's insert-after-current walk (AlignExtFrag.cpp:164-234)
+    // without the O(n^2) mid-vector moves.
+    if (sfrags.size() > 1) {
+        static thread_local std::vector<SFrag> merged;
+        merged.clear();
+        merged.reserve(sfrags.size() * 2 - 1);
+        merged.push_back(std::move(sfrags[0]));
+        for (size_t i = 0; i + 1 < sfrags.size(); i++) {
+            SFrag new_sf;
+            if (make_and_align_gap(st, merged.back(), sfrags[i + 1],
+                                   q_codes, new_sf))
+                merged.push_back(std::move(new_sf));
+            merged.push_back(std::move(sfrags[i + 1]));
+        }
+        sfrags.swap(merged);
     }
-
+    double tc = g_prof ? now_s() : 0;
     collapse_sfragments(clump);
     extend_clump_fr(st, clump, true, true, false);
+    if (g_prof) {
+        double te = now_s();
+        g_prof->gapc += tc - tg;
+        g_prof->extfr += te - tc;
+    }
     clump.set(ST_ALIGNED, true);
 }
 
@@ -2074,7 +2100,9 @@ static std::pair<int64_t, int64_t> align_read(State& st, std::string& out,
     old.swap(st.clumps);
     for (Clump* clump : old) {
         align_clump(st, *clump);
+        double tsc = prof ? now_s() : 0;
         score_clump(st, *clump);
+        if (prof) prof->sc += now_s() - tsc;
         if (clump->scored())
             st.clumps.insert(st.clumps.begin(), clump);
     }
@@ -2249,17 +2277,23 @@ int yt_align_batch(
             sum.front += p.front; sum.align += p.align;
             sum.oqc += p.oqc; sum.print += p.print; sum.reads += p.reads;
             sum.s2c += p.s2c; sum.dp += p.dp; sum.dpa += p.dpa;
+            sum.dps += p.dps; sum.sc += p.sc;
+            sum.gapc += p.gapc; sum.extfr += p.extfr;
             sum.dp_calls += p.dp_calls; sum.dpa_calls += p.dpa_calls;
+            sum.dps_calls += p.dps_calls;
             sum.clumps += p.clumps;
         }
         fprintf(stderr,
                 "[yt_prof] reads=%lld front=%.3fs (s2c=%.3fs) "
                 "align=%.3fs (ext=%.3fs calls=%lld anch=%.3fs "
-                "acalls=%lld) oqc=%.3fs print=%.3fs clumps=%lld\n",
+                "acalls=%lld smalldp=%.3fs scalls=%lld score=%.3fs "
+                "gapc=%.3fs extfr=%.3fs) "
+                "oqc=%.3fs print=%.3fs clumps=%lld\n",
                 (long long)sum.reads, sum.front, sum.s2c,
                 sum.align, sum.dp, (long long)sum.dp_calls, sum.dpa,
-                (long long)sum.dpa_calls, sum.oqc,
-                sum.print, (long long)sum.clumps);
+                (long long)sum.dpa_calls, sum.dps,
+                (long long)sum.dps_calls, sum.sc, sum.gapc, sum.extfr,
+                sum.oqc, sum.print, (long long)sum.clumps);
         fprintf(stderr,
                 "[yt_prof2] scan=%.3fs (hash=%.3fs so=%.3fs roa=%.3fs) "
                 "sort=%.3fs f2c=%.3fs hits=%lld "
