@@ -116,18 +116,21 @@ def bench_anchored(use_tpu):
     return n * cells_per / best_dt, band
 
 
-def bench_e2e():
-    """Native-engine e2e reads/s vs the reference binary (best-of-3
-    interleaved), on the checked-in test genome."""
+def bench_e2e(reads, read_len, err, label_suffix=""):
+    """Native-engine e2e reads/s vs the reference binary (best-of-N
+    interleaved), on the checked-in test genome.  Read counts are sized
+    so each run is multiple seconds — short runs are startup-dominated
+    and the shared VM's wall clock swings between runs."""
     if not os.path.exists(REF_BIN):
         return None
     out = {}
     try:
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools/e2e_bench.py"),
-             "--reads", "20000", "--len", "100", "--threads", "1,4",
+             "--reads", str(reads), "--len", str(read_len),
+             "--err", str(err), "--threads", "1,4",
              "--engine", "native", "--iters", "4"],
-            capture_output=True, timeout=900, text=True)
+            capture_output=True, timeout=1200, text=True)
         for line in r.stdout.splitlines():
             try:
                 rec = json.loads(line)
@@ -138,6 +141,10 @@ def bench_e2e():
             out[key + "_reads_per_s"] = rec["reads_per_s"]
             if "parity" in rec:
                 out[key + "_parity"] = rec["parity"]
+        for t in (1, 4):
+            rk, nk = "ref_t%d_reads_per_s" % t, "native_t%d_reads_per_s" % t
+            if rk in out and nk in out:
+                out["t%d_vs_ref" % t] = round(out[nk] / out[rk], 3)
     except Exception as e:          # pragma: no cover
         out["error"] = str(e)[:200]
     return out
@@ -156,9 +163,12 @@ def main():
         extra["anchored_band"] = band
     except Exception as e:          # pragma: no cover
         extra["anchored_error"] = str(e)[:200]
-    e2e = bench_e2e()
+    e2e = bench_e2e(100000, 100, 0.02)
     if e2e:
         extra["e2e_100bp"] = e2e
+    e2e1k = bench_e2e(12000, 1000, 0.05)
+    if e2e1k:
+        extra["e2e_1kb"] = e2e1k
 
     print(json.dumps({
         "metric": "banded-SW extension DP throughput (%s, batch %dx%dbp)"
