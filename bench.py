@@ -116,6 +116,49 @@ def bench_anchored(use_tpu):
     return n * cells_per / best_dt, band
 
 
+def bench_anchored_banded(use_tpu):
+    """Band-relative anchored kernel at a long-gap-fill shape (per-row
+    work scales with the band, not the reference length)."""
+    from yaha_tpu.ops import sw_pallas, sw_batch
+    import jax.numpy as jnp
+    rng = np.random.default_rng(13)
+    n = sw_pallas.TILE if use_tpu else 256
+    ql, rl, d = 192, 256, 5
+    lbw_v, rbw_v = d, d + (rl - ql)
+    wband = lbw_v + rbw_v + 1
+    q = rng.integers(0, 4, (n, ql)).astype(np.uint8)
+    r = rng.integers(0, 4, (n, rl)).astype(np.uint8)
+    qlens = np.full(n, ql, np.int32)
+    rlens = np.full(n, rl, np.int32)
+    lbw = np.full(n, lbw_v, np.int32)
+    rbw = np.full(n, rbw_v, np.int32)
+    kw = dict(go=5, ge=2, rc=3, ms=1, max_gap=50, max_intron=50)
+    reps = 6 if use_tpu else 2
+    arg_sets = []
+    for s in range(reps):
+        q2 = q.copy()
+        q2[:, 0] = (q2[:, 0] + s) % 4
+        arg_sets.append(tuple(jnp.asarray(x) for x in
+                              (q2, qlens, r, rlens, lbw, rbw)))
+    if use_tpu:
+        fwd = lambda a: sw_pallas.anchored_forward_pallas_banded(
+            *a, wband=wband, **kw)
+    else:
+        fwd = lambda a: sw_batch.batched_anchored_forward(*a, **kw)
+    out = fwd(arg_sets[0])
+    out["score"].block_until_ready()
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        outs = [fwd(a) for a in arg_sets]
+        for o in outs:
+            o["score"].block_until_ready()
+        best_dt = min(best_dt, (time.time() - t0) / reps)
+    cells_per = sum(min(i + rbw_v, rl) - max(i - lbw_v, 1) + 1
+                    for i in range(1, ql + 1))
+    return n * cells_per / best_dt, wband
+
+
 def bench_e2e(reads, read_len, err, label_suffix=""):
     """Native-engine e2e reads/s vs the reference binary (best-of-N
     interleaved), on the checked-in test genome.  Read counts are sized
@@ -163,6 +206,12 @@ def main():
         extra["anchored_band"] = band
     except Exception as e:          # pragma: no cover
         extra["anchored_error"] = str(e)[:200]
+    try:
+        bcps, bband = bench_anchored_banded(use_tpu)
+        extra["anchored_banded_gcells_per_s"] = round(bcps / 1e9, 3)
+        extra["anchored_banded_band"] = bband
+    except Exception as e:          # pragma: no cover
+        extra["anchored_banded_error"] = str(e)[:200]
     e2e = bench_e2e(100000, 100, 0.02)
     if e2e:
         extra["e2e_100bp"] = e2e

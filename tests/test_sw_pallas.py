@@ -35,9 +35,31 @@ def test_anchored_pallas_matches_xla():
                                             **KW)
     mine = sw_pallas.anchored_forward_pallas(q, qlens, r, rlens, lbw, rbw,
                                              interpret=True, **KW)
-    for key in ("score", "eo", "idc"):
-        np.testing.assert_array_equal(np.asarray(ref[key]),
-                                      np.asarray(mine[key]), err_msg=key)
+    np.testing.assert_array_equal(np.asarray(ref["score"]),
+                                  np.asarray(mine["score"]), err_msg="score")
+    # The Pallas kernel only sweeps the union of per-problem bands per
+    # row; cells outside every band are never written (traceback walks
+    # in-band cells only).  Compare eo/idc on the in-band mask, which is
+    # everything the traceback (and the XLA twin's consumers) can read.
+    ii = np.arange(ql + 1)[None, :, None]
+    jj = np.arange(rl + 1)[None, None, :]
+    band = ((ii <= qlens[:, None, None]) & (jj <= rlens[:, None, None])
+            & (jj >= ii - lbw[:, None, None])
+            & (jj <= ii + rbw[:, None, None]))
+    for key in ("eo", "idc"):
+        a, b = np.asarray(ref[key]), np.asarray(mine[key])
+        np.testing.assert_array_equal(np.where(band, a, 0),
+                                      np.where(band, b, 0), err_msg=key)
+    # And the decoded alignments must be identical outright.
+    from yaha_tpu.ops import dp_common
+    for k in range(0, n, 97):
+        ta = dp_common.traceback_anchored(np.asarray(ref["eo"])[k],
+                                          np.asarray(ref["idc"])[k],
+                                          int(qlens[k]), int(rlens[k]))
+        tb = dp_common.traceback_anchored(np.asarray(mine["eo"])[k],
+                                          np.asarray(mine["idc"])[k],
+                                          int(qlens[k]), int(rlens[k]))
+        assert ta == tb, k
 
 
 def test_extension_pallas_matches_xla():
@@ -62,3 +84,59 @@ def test_extension_pallas_matches_xla():
     for key in ("score", "maxi", "maxj", "eo", "idc"):
         np.testing.assert_array_equal(np.asarray(ref[key]),
                                       np.asarray(mine[key]), err_msg=key)
+
+
+def test_anchored_banded_pallas_matches_xla():
+    """Band-relative anchored kernel vs the XLA twin: scores, unshifted
+    full-matrix arrays, and both backtrack decoders (python + native)."""
+    rng = np.random.default_rng(23)
+    n, ql, rl = sw_pallas.TILE, 11, 14
+    q = rng.integers(0, 5, (n, ql)).astype(np.uint8)
+    r = rng.integers(0, 5, (n, rl)).astype(np.uint8)
+    qlens = rng.integers(1, ql + 1, n).astype(np.int64)
+    rlens = rng.integers(1, rl + 1, n).astype(np.int64)
+    lbw = np.zeros(n, np.int64)
+    rbw = np.zeros(n, np.int64)
+    for k in range(n):
+        if k % 2 == 0:   # full-DP encoding
+            lbw[k] = rbw[k] = max(qlens[k], rlens[k]) + 1
+        else:            # banded with asymmetric bands (SW.cpp:855-871)
+            d = 2
+            if rlens[k] >= qlens[k]:
+                lbw[k], rbw[k] = d, d + (rlens[k] - qlens[k])
+            else:
+                lbw[k], rbw[k] = d + (qlens[k] - rlens[k]), d
+    ref = sw_batch.batched_anchored_forward(q, qlens, r, rlens, lbw, rbw,
+                                            **KW)
+    wband = int((lbw + rbw).max()) + 1
+    mine = sw_pallas.anchored_forward_pallas_banded(
+        q, qlens, r, rlens, lbw, rbw, wband=wband, interpret=True, **KW)
+    np.testing.assert_array_equal(np.asarray(ref["score"]),
+                                  np.asarray(mine["score"]), err_msg="score")
+    eo_u, idc_u = sw_pallas.unshift_anchored_banded(
+        mine["eo_b"], mine["idc_b"], np.asarray(lbw), wid=rl + 1)
+    np.testing.assert_array_equal(np.asarray(ref["eo"]), np.asarray(eo_u),
+                                  err_msg="eo")
+    np.testing.assert_array_equal(np.asarray(ref["idc"]), np.asarray(idc_u),
+                                  err_msg="idc")
+    # Decoders: banded python + banded native vs the absolute decode.
+    from yaha_tpu.ops import dp_common
+    eo_b = np.asarray(mine["eo_b"])
+    idc_b = np.asarray(mine["idc_b"])
+    ref_eo = np.asarray(ref["eo"])
+    ref_idc = np.asarray(ref["idc"])
+    ks = list(range(0, n, 89))
+    for k in ks:
+        want = dp_common.traceback_anchored(ref_eo[k], ref_idc[k],
+                                            int(qlens[k]), int(rlens[k]))
+        got = dp_common.traceback_anchored_banded(
+            eo_b[k], idc_b[k], int(lbw[k]), int(qlens[k]), int(rlens[k]))
+        assert got == want, k
+    from yaha_tpu.native import host as native_host
+    if native_host.available():
+        items = native_host.traceback_anchored_banded_batch(
+            eo_b[ks], idc_b[ks], qlens[ks], rlens[ks], lbw[ks])
+        for idx, k in enumerate(ks):
+            want = dp_common.traceback_anchored(
+                ref_eo[k], ref_idc[k], int(qlens[k]), int(rlens[k]))
+            assert items[idx] == want, k

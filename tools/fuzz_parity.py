@@ -177,14 +177,23 @@ def run_one(seed, keep=False):
         idx_args, cfg, out_mode = gen_config(rng)
         # Index with the reference (already byte-parity-tested; keeps the
         # fuzz focused on alignment).
-        r = subprocess.run([YAHA, "-g", "g.fasta"] + idx_args, cwd=d,
-                           capture_output=True, timeout=300)
+        try:
+            r = subprocess.run([YAHA, "-g", "g.fasta"] + idx_args, cwd=d,
+                               capture_output=True, timeout=300)
+        except subprocess.TimeoutExpired:
+            return "index-fail", d
         if r.returncode != 0:
             return "index-fail", d
         idx = [f for f in os.listdir(d) if ".X" in f][0]
         ref_cmd = [YAHA, "-x", idx, "-q", reads_name] + cfg + \
             [out_mode, "ref.out"]
-        r1 = subprocess.run(ref_cmd, cwd=d, capture_output=True, timeout=300)
+        try:
+            r1 = subprocess.run(ref_cmd, cwd=d, capture_output=True,
+                                timeout=300)
+        except subprocess.TimeoutExpired:
+            # Reference ground to a halt (pathological repeat/IUPAC
+            # inputs); nothing to diff against.
+            return "ref-timeout", d
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO
         r_eng = rng.random()

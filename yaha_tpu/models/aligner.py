@@ -233,6 +233,8 @@ class BatchAligner:
         kw = dict(go=self.aa.go_cost, ge=self.aa.ge_cost, rc=self.aa.r_cost,
                   ms=self.aa.m_score, max_gap=self.aa.max_gap,
                   max_intron=self.aa.max_intron)
+        wband_need = int((lbws + rbws).max()) + 1
+        wband = max(32, 1 << (wband_need - 1).bit_length())
         if self.backend == "native":
             from ..native import host
             out = host.anchored_forward(qa, qlens, ra, rlens, lbws, rbws,
@@ -240,6 +242,35 @@ class BatchAligner:
         elif self.backend == "numpy":
             out = sw_numpy.batched_anchored_forward_np(
                 qa, qlens, ra, rlens, lbws, rbws, **kw)
+        elif self.backend == "pallas" and wband <= 512 and wband < rg + 1:
+            # Band-relative kernel: per-row work and VMEM scale with the
+            # band, not the reference length, so narrow-band gap fills of
+            # any length stay on-chip (no rg cap).  Backtrack arrays come
+            # back in banded layout and are decoded directly.
+            from ..ops import sw_pallas
+            pad = (-n) % sw_pallas.TILE
+            out = sw_pallas.anchored_forward_pallas_banded(
+                np.pad(qa, ((0, pad), (0, 0))),
+                np.pad(qlens, (0, pad)),
+                np.pad(ra, ((0, pad), (0, 0))),
+                np.pad(rlens, (0, pad)),
+                np.pad(lbws, (0, pad)),
+                np.pad(rbws, (0, pad)), wband=wband, **kw)
+            eo_b = np.asarray(out["eo_b"])[:n]
+            idc_b = np.asarray(out["idc_b"])[:n]
+            score_arr = np.asarray(out["score"])[:n]
+            from ..native import host as native_host
+            if native_host.available():
+                all_items = native_host.traceback_anchored_banded_batch(
+                    eo_b, idc_b, qlens, rlens, lbws)
+            else:
+                all_items = [dp_common.traceback_anchored_banded(
+                    eo_b[k], idc_b[k], int(lbws[k]), p.qlen, p.rlen)
+                    for k, p in enumerate(problems)]
+            for k, p in enumerate(problems):
+                p.sfrag.eol.items = all_items[k]
+                p.sfrag.score = int(score_arr[k])
+            return
         elif self.backend == "pallas" and rg <= 512:
             # VMEM scales with the reference-gap width (~22 KB/column:
             # 3 int32 state rows + double-buffered int8+int32 backtrack

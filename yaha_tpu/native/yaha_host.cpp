@@ -1149,6 +1149,56 @@ int yt_traceback_anchored_batch(const int8_t* eo, const int32_t* idc,
     return 0;
 }
 
+// Anchored walk over band-relative backtrack arrays (column o =
+// j - i + lbw, the layout sw_pallas.anchored_forward_pallas_banded
+// emits).  Identical decode to yt_traceback_anchored_batch after the
+// change of frame: M/R keeps o, Delete moves o -= len, Insert moves
+// y -= len / o += len.
+int yt_traceback_anchored_banded_batch(
+        const int8_t* eo, const int32_t* idc, const int64_t* qlens,
+        const int64_t* rlens, const int64_t* lbws, int64_t n,
+        int64_t eo_h, int64_t eo_w, uint8_t* ops, int32_t* lens,
+        int64_t* offs, int64_t cap) {
+    static const char opch[5] = {'U', 'M', 'R', 'I', 'D'};
+    int64_t pos = 0;
+    for (int64_t k = 0; k < n; k++) {
+        offs[k] = pos;
+        const int8_t* e = eo + k * eo_h * eo_w;
+        const int32_t* d = idc + k * eo_h * eo_w;
+        int64_t y = qlens[k];
+        int64_t o = rlens[k] - y + lbws[k];
+        int prev = e[y * eo_w + o];
+        int64_t op_len = 0;
+        int64_t start = pos;
+        for (;;) {
+            int code = e[y * eo_w + o];
+            if (code == 0) break;        // OP_UNKNOWN
+            int64_t length = d[y * eo_w + o];
+            if (code == 4) o -= length;               // delete
+            else if (code == 3) { y -= length; o += length; }  // insert
+            else { y -= 1; length = 1; }
+            if (prev != code) {
+                if (pos >= cap) return -1;
+                ops[pos] = (uint8_t)opch[prev];
+                lens[pos++] = (int32_t)op_len;
+                prev = code;
+                op_len = length;
+            } else {
+                op_len += length;
+            }
+        }
+        if (pos >= cap) return -1;
+        ops[pos] = (uint8_t)opch[prev];
+        lens[pos++] = (int32_t)op_len;
+        for (int64_t a = start, b = pos - 1; a < b; a++, b--) {
+            uint8_t t0 = ops[a]; ops[a] = ops[b]; ops[b] = t0;
+            int32_t t1 = lens[a]; lens[a] = lens[b]; lens[b] = t1;
+        }
+    }
+    offs[n] = pos;
+    return 0;
+}
+
 // Extension walk (banded arm, SW.cpp:1137-1168).  reverse problems keep
 // walk order (merge_to_front), forward problems are reversed.  Problems
 // with score <= 0 decode to an empty run list.

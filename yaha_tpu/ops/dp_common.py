@@ -62,6 +62,43 @@ def traceback_extension(eo, idc, maxi, maxj, score, bw2, reverse):
     return items, added_q, added_r
 
 
+def traceback_anchored_banded(eo_b, idc_b, lbw, qlen, rlen):
+    """Anchored run-length decode in band-relative coordinates.
+
+    `eo_b`/`idc_b` are [QL+1, WBAND] with column o = j - i + lbw (the
+    layout produced by sw_pallas.anchored_forward_pallas_banded).  The
+    walk is identical to traceback_anchored after the change of frame:
+    M/R keeps o (diagonal), Delete length L moves o -= L, Insert length
+    L moves y -= L and o += L.  Returns the same items list.
+    """
+    y = int(qlen)
+    o = int(rlen) - y + int(lbw)
+    prev = int(eo_b[y][o])
+    op_len = 0
+    items = []
+    while True:
+        code = int(eo_b[y][o])
+        if code == OP_UNKNOWN:
+            break
+        length = int(idc_b[y][o])
+        if code == OP_DELETE:
+            o -= length
+        elif code == OP_INSERT:
+            y -= length
+            o += length
+        else:
+            y -= 1
+            length = 1
+        if prev != code:
+            items.insert(0, [OP_CHARS[prev], op_len])
+            prev = code
+            op_len = length
+        else:
+            op_len += length
+    items.insert(0, [OP_CHARS[prev], op_len])
+    return items
+
+
 def traceback_anchored(eo, idc, qlen, rlen):
     """Host run-length decode for anchored problems (full coordinates).
 

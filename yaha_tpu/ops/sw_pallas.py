@@ -357,6 +357,241 @@ def anchored_forward_pallas(q, qlens, r, rlens, left_bw, right_bw, *, go,
     return {"score": score, "eo": eo, "idc": idc}
 
 
+def _anch_banded_kernel(q_ref, r2_ref, qlens_ref, rlens_ref, lbw_ref,
+                        rbw_ref, eo_out, idc_out, score_out,
+                        pv, pf, pi, score,
+                        *, wband, go, ge, rc, ms, max_gap, max_intron):
+    """Anchored (gap-fill) DP in band-relative coordinates.
+
+    Same contract as _anch_kernel but the column sweep covers only the
+    band: offset o = j - i + lbw is row-invariant per problem, so the
+    loop is a static `wband` wide regardless of the reference length
+    (the reference banded variant, SW.cpp:855-871, walks the same
+    trapezoid).  Mirrors _ext_kernel's relative-frame scratch shifts:
+    diagonal (i-1, j-1) is pv[o] before overwrite, vertical (i-1, j) is
+    pv/pf/pi[o + 1], horizontal (i, j-1) is the loop carry.  The caller
+    pre-shifts the reference per problem (r2[s] = r[s - lbw]) so the
+    per-cell reference character load is at the common index i - 1 + o.
+
+    Per-problem bands narrower than wband are enforced by masks; the
+    query-start insert boundary (column j = 0, XLA twin's col0_live)
+    slides through the band at o = lbw - i and is written in-loop.
+    """
+    g = pl.program_id(1)  # 0 = boundary row, else query row i = g
+    i32 = jnp.int32
+
+    def full(v, dtype=i32):
+        return jnp.full((SUB, LANE), v, dtype)
+
+    rlens = rlens_ref[0]
+    lbw = lbw_ref[0]
+    rbw = rbw_ref[0]
+    bandw = lbw + rbw  # per-problem band occupies o in [0, bandw]
+
+    @pl.when(g == 0)
+    def _init():
+        # Row-0 boundary (j0 = o - lbw): origin 0 at j0 == 0, delete
+        # boundary -(go + j0*ge) for 1 <= j0 <= min(rbw, rlen), DPWorst
+        # outside (SW.cpp:899-923 in full-matrix coordinates).
+        live_hi = jnp.minimum(rbw, rlens)
+
+        def init_col(o, _):
+            j0 = o - lbw
+            is_origin = jnp.clip(1 - jnp.abs(j0), 0, 1)
+            lv = jnp.clip(jnp.minimum(j0, live_hi - j0 + 1), 0, 1)
+            pv[o] = (is_origin * 0 + lv * (full(-go) - j0 * ge)
+                     + (1 - is_origin - lv) * DP_WORST)
+            pf[o] = full(DP_WORST)
+            pi[o] = full(0)
+            eo_out[0, o, 0] = (lv * OP_DELETE).astype(jnp.int8)
+            idc_out[0, o, 0] = lv * j0
+            return 0
+        jax.lax.fori_loop(0, wband, init_col, 0)
+        pv[wband] = full(DP_WORST)   # band-edge sentinel
+        pf[wband] = full(DP_WORST)
+        pi[wband] = full(0)
+        score[0] = full(DP_WORST)
+
+    @pl.when(g > 0)
+    def _row():
+        i = g
+        qlens = qlens_ref[0]
+        row_active = i <= qlens
+        edge_val = full(0) - (go + i * ge)
+        q_char = q_ref[i - 1, 0].astype(i32)
+
+        def col_step(o, carry):
+            pe_col, pd_col, pv_col = carry
+            j = i + o - lbw
+            active = row_active & (j >= 1) & (o <= bandw) & (j <= rlens)
+            # Column-0 insert boundary slides through the band frame.
+            is_bound = row_active & (j == 0) & (i <= qlens)
+            v = pv[o]                 # diagonal (i-1, j-1)
+            r_char = r2_ref[i - 1 + o, 0].astype(i32)
+            neq = jnp.minimum(jnp.abs(q_char - r_char), 1)
+            gscore = v + ms - neq * (ms + rc)
+            opcode = full(OP_MATCH) + neq * (OP_REPLACE - OP_MATCH)
+            cell_idc = full(0)
+
+            ce = pe_col - ge
+            ne = pv_col - (go + ge)
+            cont_d = (ce >= ne) & (pd_col + 1 <= max_intron)
+            pe_new = jnp.where(cont_d, ce, ne)
+            pd_new = jnp.where(cont_d, pd_col + 1, full(1))
+            take_d = pe_new > gscore   # anchored tie rule: strict >
+            v1 = jnp.where(take_d, pe_new, gscore)
+            opcode = jnp.where(take_d, full(OP_DELETE), opcode)
+            cell_idc = jnp.where(take_d, pd_new, cell_idc)
+
+            cf = pf[o + 1] - ge       # vertical (i-1, j)
+            nf = pv[o + 1] - (go + ge)
+            cont_f = (cf >= nf) & (pi[o + 1] + 1 <= max_gap)
+            f = jnp.where(cont_f, cf, nf)
+            ii = jnp.where(cont_f, pi[o + 1] + 1, full(1))
+            take_f = f > v1           # anchored tie rule: strict >
+            v2 = jnp.where(take_f, f, v1)
+            opcode = jnp.where(take_f, full(OP_INSERT), opcode)
+            cell_idc = jnp.where(take_f, ii, cell_idc)
+
+            pf[o] = jnp.where(active, f, full(DP_WORST))
+            pi[o] = jnp.where(active, ii, full(0))
+            lb = is_bound.astype(i32)
+            eo_out[0, o, 0] = jnp.where(
+                active, opcode, lb * OP_INSERT).astype(jnp.int8)
+            idc_out[0, o, 0] = jnp.where(active, cell_idc, lb * i)
+            pv[o] = jnp.where(active, v2,
+                              jnp.where(is_bound, edge_val, full(DP_WORST)))
+            score[0] = jnp.where(active & (i == qlens) & (j == rlens),
+                                 v2, score[0])
+
+            pe_col = jnp.where(active, pe_new, full(DP_WORST))
+            pd_col = jnp.where(active, pd_new, full(0))
+            pv_col = jnp.where(active, v2,
+                               jnp.where(is_bound, edge_val,
+                                         full(DP_WORST)))
+            return pe_col, pd_col, pv_col
+
+        carry = (full(DP_WORST), full(0), full(DP_WORST))
+        jax.lax.fori_loop(0, wband, col_step, carry)
+
+    score_out[0, 0] = score[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wband", "go", "ge", "rc", "ms", "max_gap",
+                     "max_intron", "interpret"))
+def anchored_forward_pallas_banded(q, qlens, r, rlens, left_bw, right_bw,
+                                   *, wband, go, ge, rc, ms, max_gap,
+                                   max_intron, interpret=False):
+    """Band-relative anchored forward: static per-row work O(wband)
+    instead of O(rl_max), and VMEM scales with the band — large gap
+    fills with narrow bands no longer hit the rl<=512 VMEM cap.
+
+    wband must be a static int >= max(left_bw + right_bw) + 1 (callers
+    bucket it to limit recompiles).  Returns {"score", "eo_b", "idc_b"}
+    with the backtrack arrays in banded layout [N, QL+1, WBAND]
+    (column o = j - i + lbw); decode with traceback_anchored_banded, or
+    expand with unshift_anchored_banded to get arrays identical to
+    batched_anchored_forward's.
+    """
+    n, ql_max = q.shape
+    rl_max = r.shape[1]
+    assert n % TILE == 0, n
+    tiles = n // TILE
+    wid = rl_max + 1
+    lbw32 = left_bw.astype(jnp.int32)
+
+    # Pre-shift each problem's reference so the kernel's per-cell load is
+    # at the common index s = i - 1 + o:  r2[s] = r[s - lbw].
+    w2 = ql_max + wband
+    s_idx = jnp.arange(w2)[None, :] - lbw32[:, None]
+    valid_r = (s_idx >= 0) & (s_idx < rl_max)
+    r2 = jnp.where(
+        valid_r,
+        jnp.take_along_axis(r, jnp.clip(s_idx, 0, rl_max - 1), axis=1),
+        jnp.uint8(255))
+
+    q_t = q.reshape(tiles, SUB, LANE, ql_max).transpose(3, 0, 1, 2)
+    r2_t = r2.reshape(tiles, SUB, LANE, w2).transpose(3, 0, 1, 2)
+
+    def scal(x):
+        return x.astype(jnp.int32).reshape(tiles, SUB, LANE)
+
+    grid = (tiles, ql_max + 1)
+    kernel = functools.partial(
+        _anch_banded_kernel, wband=wband, go=go, ge=ge, rc=rc, ms=ms,
+        max_gap=max_gap, max_intron=max_intron)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((ql_max + 1, wband, tiles, SUB, LANE),
+                             jnp.int8),
+        jax.ShapeDtypeStruct((ql_max + 1, wband, tiles, SUB, LANE),
+                             jnp.int32),
+        jax.ShapeDtypeStruct((1, tiles, SUB, LANE), jnp.int32),
+    )
+    eo_b, idc_b, score = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ql_max, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
+            pl.BlockSpec((w2, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
+            pl.BlockSpec((1, SUB, LANE), lambda t, g: (t, 0, 0)),
+            pl.BlockSpec((1, SUB, LANE), lambda t, g: (t, 0, 0)),
+            pl.BlockSpec((1, SUB, LANE), lambda t, g: (t, 0, 0)),
+            pl.BlockSpec((1, SUB, LANE), lambda t, g: (t, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, wband, 1, SUB, LANE),
+                         lambda t, g: (g, 0, t, 0, 0)),
+            pl.BlockSpec((1, wband, 1, SUB, LANE),
+                         lambda t, g: (g, 0, t, 0, 0)),
+            pl.BlockSpec((1, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((wband + 1, SUB, LANE), jnp.int32),  # PV
+            pltpu.VMEM((wband + 1, SUB, LANE), jnp.int32),  # PF
+            pltpu.VMEM((wband + 1, SUB, LANE), jnp.int32),  # PI
+            pltpu.VMEM((1, SUB, LANE), jnp.int32),          # score
+        ],
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(q_t, r2_t, scal(qlens), scal(rlens), scal(left_bw), scal(right_bw))
+
+    def from_tiles(x):
+        t_axis = x.ndim - 3
+        x = jnp.moveaxis(x, (t_axis, t_axis + 1, t_axis + 2), (0, 1, 2))
+        return x.reshape((n,) + x.shape[3:])
+
+    eo_b = from_tiles(eo_b)        # [N, QL+1, WBAND]
+    idc_b = from_tiles(idc_b)
+    score = from_tiles(score)[:, 0]
+    # Banded layout goes straight to the host decoders
+    # (traceback_anchored_banded): the backtrack walk touches O(path)
+    # cells, so materializing [N, QL+1, RL+1] full-matrix arrays (and
+    # shipping them off-device) would cost more than the DP itself for
+    # long gap fills.  unshift_anchored_banded exists for parity tests.
+    return {"score": score, "eo_b": eo_b, "idc_b": idc_b}
+
+
+@functools.partial(jax.jit, static_argnames=("wid",))
+def unshift_anchored_banded(eo_b, idc_b, left_bw, wid):
+    """Test helper: expand banded-layout backtrack arrays to full-matrix
+    coordinates (absolute (i, j) lives at o = j - i + lbw), matching
+    batched_anchored_forward's eo/idc exactly."""
+    n, qlp1, wband = eo_b.shape
+    lbw32 = left_bw.astype(jnp.int32)
+    ii = jnp.arange(qlp1)[None, :, None]
+    jj = jnp.arange(wid)[None, None, :]
+    o = jj - ii + lbw32[:, None, None]
+    valid = (o >= 0) & (o < wband)
+    oc = jnp.clip(o, 0, wband - 1)
+    eo = jnp.where(valid, jnp.take_along_axis(eo_b, oc, axis=2),
+                   jnp.int8(OP_UNKNOWN))
+    idc = jnp.where(valid, jnp.take_along_axis(idc_b, oc, axis=2), 0)
+    return eo, idc
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("band_width", "go", "ge", "rc", "ms", "max_gap",
