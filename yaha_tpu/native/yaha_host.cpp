@@ -764,8 +764,20 @@ int64_t yt_seed_to_clumps(
     uint64_t etag = (uint64_t)epoch << 32;
     const bool prof = _prof_on();
 
+    // Short reads (the common case) emit fragments pre-packed as one
+    // u64 (diag:32 | sqo:16 | eqo:16); (diag, sqo) pairs are unique
+    // post-coalescing, so a plain u64 sort gives the same order as the
+    // struct sort without the 16-byte interim records.
+    static thread_local std::vector<uint64_t> packed;
+    packed.clear();
+    const bool pack16 = q_len <= 0xFFFF;
     auto emit_run = [&](const Run& r) {
-        frs.push_back({((uint64_t)r.diag << 32) | (uint64_t)r.sqo, r.eqo});
+        if (pack16)
+            packed.push_back(((uint64_t)r.diag << 32) |
+                             ((uint64_t)r.sqo << 16) | (uint64_t)r.eqo);
+        else
+            frs.push_back({((uint64_t)r.diag << 32) | (uint64_t)r.sqo,
+                           r.eqo});
     };
     auto grow_table = [&]() {
         table_sz *= 2;
@@ -866,10 +878,17 @@ int64_t yt_seed_to_clumps(
     }
     double _tb = prof ? _now_s() : 0;
     {
-        const size_t PD = 4;
-        for (size_t t = 0; t < run_qo.size(); t++) {
-            if (t + PD < run_qo.size())
+        // Two prefetch depths: a deep one to start the DRAM+TLB access
+        // early (each run is a fresh random line in a 3 Gbp-scale ROA,
+        // so the page walk dominates) and a shallow second line for
+        // runs spilling past one cache line (16 u32 entries).
+        const size_t PD = 16, PD2 = 6;
+        const size_t n_runs = run_qo.size();
+        for (size_t t = 0; t < n_runs; t++) {
+            if (t + PD < n_runs)
                 __builtin_prefetch(&roa[run_off[t + PD]]);
+            if (t + PD2 < n_runs && run_cnt[t + PD2] > 16)
+                __builtin_prefetch(&roa[run_off[t + PD2] + 16]);
             int64_t qo = run_qo[t];
             int64_t off = run_off[t];
             int64_t cnt = run_cnt[t];
@@ -907,27 +926,62 @@ int64_t yt_seed_to_clumps(
     for (const Run& r : runs) emit_run(r);
     static thread_local std::vector<int64_t> fsqo, feqo, fsro;
     fsqo.clear(); feqo.clear(); fsro.clear();
-    if (q_len <= 0xFFFF) {
-        // Pack (diag:32 | sqo:16 | eqo:16) into one u64: (diag, sqo)
-        // pairs are unique post-coalescing, so sorting the packed keys
-        // gives the same order with a plain u64 sort (~2x the struct
-        // sort on spurious-hit-heavy strands with thousands of
-        // single-hit fragments).
-        static thread_local std::vector<uint64_t> packed;
-        packed.clear();
-        packed.reserve(frs.size());
-        for (const FR& fr : frs)
-            packed.push_back(((fr.key >> 32) << 32) |
-                             ((fr.key & 0xFFFFull) << 16) |
-                             (uint64_t)fr.eqo);
-        std::sort(packed.begin(), packed.end());
-        for (uint64_t p : packed) {
+    if (pack16) {
+        // (diag, sqo) pairs are unique, so ordering by the top 48 bits
+        // fully determines the order; eqo rides in the low 16.  Large
+        // fragment sets (hg-scale 1 kb reads produce thousands per
+        // read) go through a 3x16-bit LSD radix sort — std::sort's
+        // introsort was the single biggest non-memory cost of the seed
+        // phase at 3 Gbp.
+        size_t nf = packed.size();
+        const uint64_t* sorted = packed.data();
+        if (nf > 4096) {
+            static thread_local std::vector<uint64_t> tmp;
+            tmp.resize(nf);
+            uint64_t* a = packed.data();
+            uint64_t* b = tmp.data();
+            static thread_local std::vector<uint32_t> cnt;
+            cnt.assign(3 * 65536, 0);
+            uint32_t* c16 = cnt.data();
+            uint32_t* c32 = cnt.data() + 65536;
+            uint32_t* c48 = cnt.data() + 2 * 65536;
+            for (size_t t = 0; t < nf; t++) {
+                uint64_t k = a[t];
+                c16[(k >> 16) & 0xFFFF]++;
+                c32[(k >> 32) & 0xFFFF]++;
+                c48[k >> 48]++;
+            }
+            for (int pass = 0; pass < 3; pass++) {
+                uint32_t* c = cnt.data() + pass * 65536;
+                uint32_t sum = 0;
+                for (int v = 0; v < 65536; v++) {
+                    uint32_t t = c[v]; c[v] = sum; sum += t;
+                }
+            }
+            int shift[3] = {16, 32, 48};
+            for (int pass = 0; pass < 3; pass++) {
+                uint32_t* c = cnt.data() + pass * 65536;
+                int s = shift[pass];
+                for (size_t t = 0; t < nf; t++)
+                    b[c[(a[t] >> s) & 0xFFFF]++] = a[t];
+                std::swap(a, b);
+            }
+            sorted = a;   // odd pass count: sorted data sits in tmp
+        } else {
+            std::sort(packed.begin(), packed.end());
+        }
+        fsqo.resize(nf); feqo.resize(nf); fsro.resize(nf);
+        int64_t* __restrict__ oq = fsqo.data();
+        int64_t* __restrict__ oe = feqo.data();
+        int64_t* __restrict__ orr = fsro.data();
+        const uint64_t* __restrict__ pk = sorted;
+        for (size_t t = 0; t < nf; t++) {
+            uint64_t p = pk[t];
             int64_t diag = (int64_t)(p >> 32);
             int64_t sqo = (int64_t)((p >> 16) & 0xFFFFull);
-            int64_t eqo_run = (int64_t)(p & 0xFFFFull);
-            fsqo.push_back(sqo);
-            feqo.push_back(eqo_run + word_len - 1);
-            fsro.push_back((diag + sqo) & M32);
+            oq[t] = sqo;
+            oe[t] = (int64_t)(p & 0xFFFFull) + word_len - 1;
+            orr[t] = (diag + sqo) & M32;
         }
     } else {
         std::sort(frs.begin(), frs.end(),
