@@ -935,7 +935,10 @@ int64_t yt_seed_to_clumps(
         // phase at 3 Gbp.
         size_t nf = packed.size();
         const uint64_t* sorted = packed.data();
-        if (nf > 4096) {
+        if (nf >= 131072) {
+            // Huge sets: 3x16-bit LSD passes.  The 3*65536 counter
+            // clear + prefix (~400K ops) only pays for itself above
+            // ~128K keys.
             static thread_local std::vector<uint64_t> tmp;
             tmp.resize(nf);
             uint64_t* a = packed.data();
@@ -967,6 +970,42 @@ int64_t yt_seed_to_clumps(
                 std::swap(a, b);
             }
             sorted = a;   // odd pass count: sorted data sits in tmp
+        } else if (nf > 2048) {
+            // Per-read common case at hg scale (~4-50K spurious-hit
+            // fragments): 6x8-bit LSD passes over bits 16..63 keep the
+            // counter footprint at 6x256 so the fixed cost per read is
+            // ~1.5K ops, not ~400K.  Passes whose digit is constant
+            // across all keys (frequent in the high diag bytes for
+            // short reads against one chromosome) are skipped.
+            static thread_local std::vector<uint64_t> tmp;
+            tmp.resize(nf);
+            uint64_t* a = packed.data();
+            uint64_t* b = tmp.data();
+            uint32_t cnt8[6][256];
+            memset(cnt8, 0, sizeof cnt8);
+            for (size_t t = 0; t < nf; t++) {
+                uint64_t k = a[t] >> 16;
+                cnt8[0][k & 0xFF]++; k >>= 8;
+                cnt8[1][k & 0xFF]++; k >>= 8;
+                cnt8[2][k & 0xFF]++; k >>= 8;
+                cnt8[3][k & 0xFF]++; k >>= 8;
+                cnt8[4][k & 0xFF]++; k >>= 8;
+                cnt8[5][k & 0xFF]++;
+            }
+            for (int pass = 0; pass < 6; pass++) {
+                uint32_t* c = cnt8[pass];
+                int s = 16 + 8 * pass;
+                if (c[(a[0] >> s) & 0xFF] == nf)
+                    continue;   // constant digit: already in order
+                uint32_t sum = 0;
+                for (int v = 0; v < 256; v++) {
+                    uint32_t t = c[v]; c[v] = sum; sum += t;
+                }
+                for (size_t t = 0; t < nf; t++)
+                    b[c[(a[t] >> s) & 0xFF]++] = a[t];
+                std::swap(a, b);
+            }
+            sorted = a;
         } else {
             std::sort(packed.begin(), packed.end());
         }
