@@ -764,20 +764,23 @@ int64_t yt_seed_to_clumps(
     uint64_t etag = (uint64_t)epoch << 32;
     const bool prof = _prof_on();
 
-    // Short reads (the common case) emit fragments pre-packed as one
-    // u64 (diag:32 | sqo:16 | eqo:16); (diag, sqo) pairs are unique
-    // post-coalescing, so a plain u64 sort gives the same order as the
-    // struct sort without the 16-byte interim records.
-    static thread_local std::vector<uint64_t> packed;
-    packed.clear();
+    // Short reads (the common case) skip the diag-hash grouper
+    // entirely: every hit is emitted as one packed u64
+    // (diag:32 at bits 16..47 | qo:16), the hit keys are radix-sorted,
+    // and fragments fall out of a linear coalesce over the sorted keys.
+    // At hg scale ~75% of hits are singleton spurious fragments, so the
+    // per-hit hash probe + Run update (~75 ns) cost far more than a
+    // radix pass over the raw hits.  Scan order is non-decreasing qo,
+    // so (diag, qo)-sorted order sees each diagonal's hits in the same
+    // sequence the streaming grouper did — the coalesce rule
+    // (gap > word_len starts a new fragment) produces identical
+    // fragments, already in the (diag, sqo) order downstream expects.
+    static thread_local std::vector<uint64_t> hitkeys;
+    hitkeys.clear();
     const bool pack16 = q_len <= 0xFFFF;
     auto emit_run = [&](const Run& r) {
-        if (pack16)
-            packed.push_back(((uint64_t)r.diag << 32) |
-                             ((uint64_t)r.sqo << 16) | (uint64_t)r.eqo);
-        else
-            frs.push_back({((uint64_t)r.diag << 32) | (uint64_t)r.sqo,
-                           r.eqo});
+        frs.push_back({((uint64_t)r.diag << 32) | (uint64_t)r.sqo,
+                       r.eqo});
     };
     auto grow_table = [&]() {
         table_sz *= 2;
@@ -884,6 +887,37 @@ int64_t yt_seed_to_clumps(
         // runs spilling past one cache line (16 u32 entries).
         const size_t PD = 16, PD2 = 6;
         const size_t n_runs = run_qo.size();
+        if (pack16) {
+            hitkeys.reserve((size_t)total_hits + 64);
+            for (size_t t = 0; t < n_runs; t++) {
+                if (t + PD < n_runs)
+                    __builtin_prefetch(&roa[run_off[t + PD]]);
+                if (t + PD2 < n_runs && run_cnt[t + PD2] > 16)
+                    __builtin_prefetch(&roa[run_off[t + PD2] + 16]);
+                uint64_t qo = (uint64_t)run_qo[t];
+                int64_t off = run_off[t];
+                int64_t cnt = run_cnt[t];
+                bool any_ok = false;
+                for (int64_t j = off; j < off + cnt; j++) {
+                    int64_t ro = roa[j];
+                    if (ro >= (int64_t)qo) any_ok = true;
+                    hitkeys.push_back(
+                        ((((uint64_t)ro - qo) & (uint64_t)M32) << 16) | qo);
+                }
+                if (!any_ok) {
+                    // All-wrapped run: the reference heap pre-seed reads
+                    // past the run into the next k-mer's ROA until one
+                    // entry >= qo.
+                    for (int64_t j = off + cnt; j < roa_len; j++) {
+                        int64_t ro = roa[j];
+                        hitkeys.push_back(
+                            ((((uint64_t)ro - qo) & (uint64_t)M32) << 16) |
+                            qo);
+                        if (ro >= (int64_t)qo) break;
+                    }
+                }
+            }
+        } else
         for (size_t t = 0; t < n_runs; t++) {
             if (t + PD < n_runs)
                 __builtin_prefetch(&roa[run_off[t + PD]]);
@@ -910,7 +944,7 @@ int64_t yt_seed_to_clumps(
         }
     }
     *total_hits_out = total_hits;
-    if (runs.empty()) {
+    if (pack16 ? hitkeys.empty() : runs.empty()) {
         clump_offs[0] = 0;
         return 0;
     }
@@ -927,32 +961,29 @@ int64_t yt_seed_to_clumps(
     static thread_local std::vector<int64_t> fsqo, feqo, fsro;
     fsqo.clear(); feqo.clear(); fsro.clear();
     if (pack16) {
-        // (diag, sqo) pairs are unique, so ordering by the top 48 bits
-        // fully determines the order; eqo rides in the low 16.  Large
-        // fragment sets (hg-scale 1 kb reads produce thousands per
-        // read) go through a 3x16-bit LSD radix sort — std::sort's
-        // introsort was the single biggest non-memory cost of the seed
-        // phase at 3 Gbp.
-        size_t nf = packed.size();
-        const uint64_t* sorted = packed.data();
-        if (nf >= 131072) {
+        // Sort the raw hit keys (diag:32 at bits 16..47 | qo:16); each
+        // genome position occurs once in the ROA, so keys are unique
+        // and ascending key order = (diag, qo) lexicographic.
+        size_t nh = hitkeys.size();
+        const uint64_t* sorted = hitkeys.data();
+        if (nh >= 131072) {
             // Huge sets: 3x16-bit LSD passes.  The 3*65536 counter
             // clear + prefix (~400K ops) only pays for itself above
             // ~128K keys.
             static thread_local std::vector<uint64_t> tmp;
-            tmp.resize(nf);
-            uint64_t* a = packed.data();
+            tmp.resize(nh);
+            uint64_t* a = hitkeys.data();
             uint64_t* b = tmp.data();
             static thread_local std::vector<uint32_t> cnt;
             cnt.assign(3 * 65536, 0);
-            uint32_t* c16 = cnt.data();
-            uint32_t* c32 = cnt.data() + 65536;
-            uint32_t* c48 = cnt.data() + 2 * 65536;
-            for (size_t t = 0; t < nf; t++) {
+            uint32_t* c0 = cnt.data();
+            uint32_t* c16 = cnt.data() + 65536;
+            uint32_t* c32 = cnt.data() + 2 * 65536;
+            for (size_t t = 0; t < nh; t++) {
                 uint64_t k = a[t];
+                c0[k & 0xFFFF]++;
                 c16[(k >> 16) & 0xFFFF]++;
                 c32[(k >> 32) & 0xFFFF]++;
-                c48[k >> 48]++;
             }
             for (int pass = 0; pass < 3; pass++) {
                 uint32_t* c = cnt.data() + pass * 65536;
@@ -961,30 +992,30 @@ int64_t yt_seed_to_clumps(
                     uint32_t t = c[v]; c[v] = sum; sum += t;
                 }
             }
-            int shift[3] = {16, 32, 48};
+            int shift[3] = {0, 16, 32};
             for (int pass = 0; pass < 3; pass++) {
                 uint32_t* c = cnt.data() + pass * 65536;
                 int s = shift[pass];
-                for (size_t t = 0; t < nf; t++)
+                for (size_t t = 0; t < nh; t++)
                     b[c[(a[t] >> s) & 0xFFFF]++] = a[t];
                 std::swap(a, b);
             }
             sorted = a;   // odd pass count: sorted data sits in tmp
-        } else if (nf > 2048) {
-            // Per-read common case at hg scale (~4-50K spurious-hit
-            // fragments): 6x8-bit LSD passes over bits 16..63 keep the
-            // counter footprint at 6x256 so the fixed cost per read is
-            // ~1.5K ops, not ~400K.  Passes whose digit is constant
-            // across all keys (frequent in the high diag bytes for
-            // short reads against one chromosome) are skipped.
+        } else if (nh > 2048) {
+            // Per-read common case at hg scale (~5-60K hits): 6x8-bit
+            // LSD passes keep the counter footprint at 6x256 so the
+            // fixed cost per read is ~1.5K ops, not ~400K.  Passes
+            // whose digit is constant across all keys (frequent in the
+            // high diag bytes and the qo high byte for short reads)
+            // are skipped.
             static thread_local std::vector<uint64_t> tmp;
-            tmp.resize(nf);
-            uint64_t* a = packed.data();
+            tmp.resize(nh);
+            uint64_t* a = hitkeys.data();
             uint64_t* b = tmp.data();
             uint32_t cnt8[6][256];
             memset(cnt8, 0, sizeof cnt8);
-            for (size_t t = 0; t < nf; t++) {
-                uint64_t k = a[t] >> 16;
+            for (size_t t = 0; t < nh; t++) {
+                uint64_t k = a[t];
                 cnt8[0][k & 0xFF]++; k >>= 8;
                 cnt8[1][k & 0xFF]++; k >>= 8;
                 cnt8[2][k & 0xFF]++; k >>= 8;
@@ -994,34 +1025,48 @@ int64_t yt_seed_to_clumps(
             }
             for (int pass = 0; pass < 6; pass++) {
                 uint32_t* c = cnt8[pass];
-                int s = 16 + 8 * pass;
-                if (c[(a[0] >> s) & 0xFF] == nf)
+                int s = 8 * pass;
+                if (c[(a[0] >> s) & 0xFF] == nh)
                     continue;   // constant digit: already in order
                 uint32_t sum = 0;
                 for (int v = 0; v < 256; v++) {
                     uint32_t t = c[v]; c[v] = sum; sum += t;
                 }
-                for (size_t t = 0; t < nf; t++)
+                for (size_t t = 0; t < nh; t++)
                     b[c[(a[t] >> s) & 0xFF]++] = a[t];
                 std::swap(a, b);
             }
             sorted = a;
         } else {
-            std::sort(packed.begin(), packed.end());
+            std::sort(hitkeys.begin(), hitkeys.end());
         }
-        fsqo.resize(nf); feqo.resize(nf); fsro.resize(nf);
-        int64_t* __restrict__ oq = fsqo.data();
-        int64_t* __restrict__ oe = feqo.data();
-        int64_t* __restrict__ orr = fsro.data();
-        const uint64_t* __restrict__ pk = sorted;
-        for (size_t t = 0; t < nf; t++) {
-            uint64_t p = pk[t];
-            int64_t diag = (int64_t)(p >> 32);
-            int64_t sqo = (int64_t)((p >> 16) & 0xFFFFull);
-            oq[t] = sqo;
-            oe[t] = (int64_t)(p & 0xFFFFull) + word_len - 1;
-            orr[t] = (diag + sqo) & M32;
+        // Linear coalesce over sorted hits: within a diagonal, a qo gap
+        // > word_len starts a new fragment (identical rule to the
+        // streaming grouper, QueryMatch.c:52-121 analog).
+        fsqo.reserve(nh); feqo.reserve(nh); fsro.reserve(nh);
+        uint64_t cur_diag = sorted[0] >> 16;
+        int64_t cur_sqo = (int64_t)(sorted[0] & 0xFFFFull);
+        int64_t cur_eqo = cur_sqo;
+        for (size_t t = 1; t < nh; t++) {
+            uint64_t k = sorted[t];
+            uint64_t diag = k >> 16;
+            int64_t qo = (int64_t)(k & 0xFFFFull);
+            if (diag != cur_diag || qo - cur_eqo > word_len) {
+                fsqo.push_back(cur_sqo);
+                feqo.push_back(cur_eqo + word_len - 1);
+                fsro.push_back((int64_t)((cur_diag + (uint64_t)cur_sqo) &
+                                         (uint64_t)M32));
+                cur_diag = diag;
+                cur_sqo = qo;
+                cur_eqo = qo;
+            } else {
+                cur_eqo = qo;
+            }
         }
+        fsqo.push_back(cur_sqo);
+        feqo.push_back(cur_eqo + word_len - 1);
+        fsro.push_back((int64_t)((cur_diag + (uint64_t)cur_sqo) &
+                                 (uint64_t)M32));
     } else {
         std::sort(frs.begin(), frs.end(),
                   [](const FR& a, const FR& b) { return a.key < b.key; });
