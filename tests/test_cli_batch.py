@@ -126,3 +126,26 @@ def test_long_read_cap_lift(tmp_path):
     with open(os.path.join(tmp_path, "long.sam")) as f:
         recs = [l for l in f if not l.startswith("@")]
     assert recs and recs[0].split("\t")[5] == "40000M"
+
+
+def test_native_grouper_fallback_parity(scratch):
+    """Reads whose strand hit count exceeds YT_SORT_HITS_CAP route to the
+    streaming diag-hash grouper instead of the hit radix sort
+    (yaha_host.cpp yt_seed_to_clumps); forcing the cap to 0 must still
+    reproduce the golden byte-for-byte."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["YT_SORT_HITS_CAP"] = "0"
+    r = subprocess.run(
+        [sys.executable, "-m", "yaha_tpu.cli", "-x",
+         "testgen.X11_01_65525S", "-q", "readsA_100bp.fasta",
+         "--engine", "native", "-osh", "fallback.sam"],
+        cwd=scratch, env=env, capture_output=True, timeout=1200)
+    assert r.returncode == 0, r.stderr.decode()[-1500:]
+    with open(os.path.join(scratch, "fallback.sam"), "rb") as f:
+        mine = f.read()
+    with open(os.path.join(GOLD, "A_default.sam"), "rb") as f:
+        golden = f.read()
+    strip = lambda b: b"\n".join(
+        l for l in b.split(b"\n") if not l.startswith(b"@PG"))
+    assert strip(mine) == strip(golden)

@@ -880,6 +880,17 @@ int64_t yt_seed_to_clumps(
         }
     }
     double _tb = prof ? _now_s() : 0;
+    // The hit-sort path materializes every hit (8 B each); a
+    // pathological repeat read under a permissive max_hits can pass
+    // billions of hits through the scan, which the streaming grouper
+    // absorbs in O(#fragments) memory.  Route such reads (and >64 kb
+    // reads, whose qo doesn't fit 16 bits) to the grouper; both paths
+    // produce identical fragments.
+    static const int64_t sort_hits_cap = []() {
+        const char* e = getenv("YT_SORT_HITS_CAP");   // test hook
+        return e ? atoll(e) : (int64_t)1 << 23;
+    }();
+    const bool sort_hits = pack16 && total_hits <= sort_hits_cap;
     {
         // Two prefetch depths: a deep one to start the DRAM+TLB access
         // early (each run is a fresh random line in a 3 Gbp-scale ROA,
@@ -887,36 +898,46 @@ int64_t yt_seed_to_clumps(
         // runs spilling past one cache line (16 u32 entries).
         const size_t PD = 16, PD2 = 6;
         const size_t n_runs = run_qo.size();
-        if (pack16) {
-            hitkeys.reserve((size_t)total_hits + 64);
+        if (sort_hits) {
+            // Emit order is irrelevant (the keys are fully sorted next),
+            // so main-run hits stream through a restrict pointer into a
+            // pre-sized buffer (push_back's end-pointer reload defeats
+            // the gather's store pipelining) and the rare all-wrapped
+            // continuation hits collect separately and are appended.
+            hitkeys.resize((size_t)total_hits);
+            uint64_t* __restrict__ hp = hitkeys.data();
+            static thread_local std::vector<uint64_t> extra_hits;
+            extra_hits.clear();
+            const uint32_t* __restrict__ roap = roa;
             for (size_t t = 0; t < n_runs; t++) {
                 if (t + PD < n_runs)
-                    __builtin_prefetch(&roa[run_off[t + PD]]);
+                    __builtin_prefetch(&roap[run_off[t + PD]]);
                 if (t + PD2 < n_runs && run_cnt[t + PD2] > 16)
-                    __builtin_prefetch(&roa[run_off[t + PD2] + 16]);
+                    __builtin_prefetch(&roap[run_off[t + PD2] + 16]);
                 uint64_t qo = (uint64_t)run_qo[t];
                 int64_t off = run_off[t];
                 int64_t cnt = run_cnt[t];
                 bool any_ok = false;
                 for (int64_t j = off; j < off + cnt; j++) {
-                    int64_t ro = roa[j];
-                    if (ro >= (int64_t)qo) any_ok = true;
-                    hitkeys.push_back(
-                        ((((uint64_t)ro - qo) & (uint64_t)M32) << 16) | qo);
+                    int64_t ro = roap[j];
+                    any_ok |= ro >= (int64_t)qo;
+                    *hp++ = ((((uint64_t)ro - qo) & (uint64_t)M32) << 16) | qo;
                 }
                 if (!any_ok) {
                     // All-wrapped run: the reference heap pre-seed reads
                     // past the run into the next k-mer's ROA until one
                     // entry >= qo.
                     for (int64_t j = off + cnt; j < roa_len; j++) {
-                        int64_t ro = roa[j];
-                        hitkeys.push_back(
+                        int64_t ro = roap[j];
+                        extra_hits.push_back(
                             ((((uint64_t)ro - qo) & (uint64_t)M32) << 16) |
                             qo);
                         if (ro >= (int64_t)qo) break;
                     }
                 }
             }
+            hitkeys.insert(hitkeys.end(), extra_hits.begin(),
+                           extra_hits.end());
         } else
         for (size_t t = 0; t < n_runs; t++) {
             if (t + PD < n_runs)
@@ -944,7 +965,7 @@ int64_t yt_seed_to_clumps(
         }
     }
     *total_hits_out = total_hits;
-    if (pack16 ? hitkeys.empty() : runs.empty()) {
+    if (sort_hits ? hitkeys.empty() : runs.empty()) {
         clump_offs[0] = 0;
         return 0;
     }
@@ -960,7 +981,7 @@ int64_t yt_seed_to_clumps(
     for (const Run& r : runs) emit_run(r);
     static thread_local std::vector<int64_t> fsqo, feqo, fsro;
     fsqo.clear(); feqo.clear(); fsro.clear();
-    if (pack16) {
+    if (sort_hits) {
         // Sort the raw hit keys (diag:32 at bits 16..47 | qo:16); each
         // genome position occurs once in the ROA, so keys are unique
         // and ascending key order = (diag, qo) lexicographic.
@@ -1001,7 +1022,7 @@ int64_t yt_seed_to_clumps(
                 std::swap(a, b);
             }
             sorted = a;   // odd pass count: sorted data sits in tmp
-        } else if (nh > 2048) {
+        } else if (nh > 192) {
             // Per-read common case at hg scale (~5-60K hits): 6x8-bit
             // LSD passes keep the counter footprint at 6x256 so the
             // fixed cost per read is ~1.5K ops, not ~400K.  Passes
