@@ -652,6 +652,23 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
                         getattr(aa, "host_id", 0))
     backend = {"batch": "auto", "batch-numpy": "numpy",
                "batch-xla": "xla", "batch-pallas": "pallas"}[engine]
+    if engine in ("batch-xla", "batch-pallas"):
+        # Persistent XLA compilation cache: on remote-TPU links a cold
+        # kernel compile costs minutes and the link-side memoization is
+        # per-connection; caching executables on disk makes every run
+        # after the first start warm.  JAX_COMPILATION_CACHE_DIR (or an
+        # explicit jax.config setting) takes precedence.
+        import jax
+        if not os.environ.get("JAX_COMPILATION_CACHE_DIR") and \
+                not jax.config.jax_compilation_cache_dir:
+            cache_dir = os.path.expanduser("~/.cache/yaha_tpu/xla")
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1.0)
+            except OSError:
+                pass
     # The jax engines run the seed->fragment->chain front end on device
     # (models/frontend.py); the host engines keep the native front end.
     frontend = ("device" if engine in ("batch-xla", "batch-pallas")

@@ -143,7 +143,10 @@ class DeviceFrontEnd:
             hashes, clean, self.so_dev, aa.max_hits)
         totals = np.asarray(totals)
         cap = int(max(1, totals.max() if len(totals) else 1))
-        cap = _pow2(cap, 256, 8192)
+        # Two capacity tiers only: every distinct capacity is a separate
+        # compiled program, and on remote-TPU links a cold compile costs
+        # minutes — two stable shapes keep the whole run warm.
+        cap = 1024 if cap <= 1024 else 8192
         out = seeds_jax.expand_sort_hits_device(
             hashes, clean, self.so_dev, self.roa_dev,
             max_hits=int(aa.max_hits), capacity=cap)
@@ -203,7 +206,12 @@ class DeviceFrontEnd:
                     continue
                 buckets.setdefault(nb, []).append((r, nodes))
             for nb, items in sorted(buckets.items()):
-                bsz = len(items)
+                # Pad the batch dimension to power-of-2 tiers: a distinct
+                # row count is a distinct compiled program, and region
+                # counts vary every extraction round.  Padded rows are
+                # all-invalid and are never read back (the apply loop
+                # walks only len(items) rows).
+                bsz = _pow2(len(items), 8, 1 << 30)
                 sqo = np.zeros((bsz, nb), np.int32)
                 eqo = np.zeros((bsz, nb), np.int32)
                 diag = np.zeros((bsz, nb), np.int32)
