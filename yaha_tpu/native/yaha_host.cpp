@@ -866,6 +866,13 @@ int64_t yt_seed_to_clumps(
         run_qo.reserve((size_t)n_win);
         run_off.reserve((size_t)n_win);
         run_cnt.reserve((size_t)n_win);
+        // Warm-up burst: the in-loop prefetch only covers iteration
+        // i+PD, so without this the first PD lookups of every read are
+        // latency-exposed — at 100 bp (n_win ~ 90) that is most of the
+        // read.
+        for (int64_t i = 0; i < n_win && i < PD; i++)
+            if (win_h[(size_t)i] >= 0)
+                __builtin_prefetch(&so[win_h[(size_t)i]]);
         for (int64_t i = 0; i < n_win; i++) {
             if (i + PD < n_win && win_h[(size_t)(i + PD)] >= 0)
                 __builtin_prefetch(&so[win_h[(size_t)(i + PD)]]);
@@ -898,6 +905,9 @@ int64_t yt_seed_to_clumps(
         // runs spilling past one cache line (16 u32 entries).
         const size_t PD = 16, PD2 = 6;
         const size_t n_runs = run_qo.size();
+        // Warm-up burst for the first PD runs (see the SO pass above).
+        for (size_t t = 0; t < n_runs && t < PD; t++)
+            __builtin_prefetch(&roa[run_off[t]]);
         if (sort_hits) {
             // Emit order is irrelevant (the keys are fully sorted next),
             // so main-run hits stream through a restrict pointer into a
