@@ -149,3 +149,23 @@ def test_native_grouper_fallback_parity(scratch):
     strip = lambda b: b"\n".join(
         l for l in b.split(b"\n") if not l.startswith(b"@PG"))
     assert strip(mine) == strip(golden)
+
+
+def test_native_verbose_stats_report(scratch):
+    """-v prints the per-run STATS distributions (Query.c:519-536 analog):
+    query count, length min/max/avg, per-strand total-count min/max/avg,
+    non-aligned count, alignments-per-query min/max."""
+    r = _run(scratch, "-x", "testgen.X11_01_65525S", "-q",
+             "readsA_100bp.fasta", "--engine", "native", "-v",
+             "--batch-size", "64", "-osh", "vstats.sam")
+    assert r.returncode == 0, r.stderr.decode()[-1500:]
+    err = r.stderr.decode()
+    assert "200 queries processed." in err
+    assert "Query Lengths vary from 100 to 100 with average 100." in err
+    # Per-strand totals: min over non-zero strands, avg over 2*queries.
+    assert "Total Counts vary from" in err
+    assert "There were 0 queries with no Alignment." in err
+    assert "Total Alignments Output = 200, average 1.00 per non-zero " \
+           "query." in err
+    assert "the min number of alignments was 1." in err
+    assert "The max number of alignments per query was 1." in err

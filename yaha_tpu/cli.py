@@ -566,6 +566,9 @@ def _run_native_engine(aa, genome, index):
         qs_file.write("query\tlen\tseedMatches\talignments\tusec\n")
     seed_total = 0
     rec_total = 0
+    import ctypes as _ct
+    dist_acc = [0, 0, (1 << 62), 0, 0, (1 << 62), 0, 0, 0, (1 << 62), -1] \
+        if aa.verbose else None
     try:
         if start_read == 0:
             emit_q.put((sam.file_header(aa, genome).encode("latin-1"),
@@ -583,13 +586,22 @@ def _run_native_engine(aa, genome, index):
                 # Partial overlap (e.g. a different --batch-size than the
                 # interrupted run): start inside the batch.
                 lo = max(lo, start_read - base)
+                dist = (_ct.c_int64 * 11)() if dist_acc is not None \
+                    else None
                 with timers.stage("align batch"):
                     text, stats, sm, nr = host.align_batch_native(
                         pr, lo, hi, genome, index, aa,
                         n_threads=aa.num_threads,
-                        want_stats=qs_file is not None)
+                        want_stats=qs_file is not None, dist=dist)
                 seed_total += sm
                 rec_total += nr
+                if dist is not None:
+                    for k in (0, 1, 4, 7, 8):           # sums
+                        dist_acc[k] += dist[k]
+                    for k in (2, 5, 9):                 # mins
+                        dist_acc[k] = min(dist_acc[k], dist[k])
+                    for k in (3, 6, 10):                # maxes
+                        dist_acc[k] = max(dist_acc[k], dist[k])
                 if stats is not None:
                     qs_file.write(stats.decode("latin-1"))
                 if emit_err:
@@ -616,6 +628,30 @@ def _run_native_engine(aa, genome, index):
             if total_s > 0 and emitted > 0:
                 print("Throughput: %.0f reads/s." %
                       (emitted / total_s), file=sys.stderr)
+            if dist_acc is not None and dist_acc[0] > 0:
+                # Per-run distributions (Query.c:519-536 STATS report).
+                q, qlt, qlmin, qlmax = dist_acc[0:4]
+                ct_, cmin, cmax, nonal = dist_acc[4:8]
+                cl, clmin, clmax = dist_acc[8:11]
+                print("%d queries processed." % q, file=sys.stderr)
+                print("Query Lengths vary from %d to %d with average %d."
+                      % (qlmin, qlmax, qlt // q), file=sys.stderr)
+                print("Total Counts vary from %d to %d with average %d."
+                      % (cmin if cmin < (1 << 62) else 0, cmax,
+                         ct_ // (2 * q)), file=sys.stderr)
+                print("There were %d queries with no Alignment." % nonal,
+                      file=sys.stderr)
+                if cl <= 0:
+                    print("No Alignments found.", file=sys.stderr)
+                else:
+                    print("Total Alignments Output = %d, average %4.2f "
+                          "per non-zero query." % (cl, cl / (q - nonal)),
+                          file=sys.stderr)
+                    print("Of those queries with an alignment, the min "
+                          "number of alignments was %d." % clmin,
+                          file=sys.stderr)
+                    print("The max number of alignments per query was "
+                          "%d." % clmax, file=sys.stderr)
     finally:
         if writer.is_alive():
             try:

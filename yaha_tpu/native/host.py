@@ -237,17 +237,22 @@ def _ab_sig(lib):
             ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_uint32), ct.c_int64,
             i64p, ct.POINTER(ct.c_double),
             ct.POINTER(ct.c_void_p), i64p,
-            ct.POINTER(ct.c_void_p), i64p, i64p, i64p]
+            ct.POINTER(ct.c_void_p), i64p, i64p, i64p, i64p]
         lib._ab_sig_done = True
 
 
 def align_batch_native(pr: ParsedReads, lo: int, hi: int, genome, index,
-                       aa, n_threads=1, want_stats=False):
+                       aa, n_threads=1, want_stats=False, dist=None):
     """Full native pipeline over reads [lo, hi) of a ParsedReads, using
     numpy-free NativeGenome/NativeIndex handles (io/native_loader.py).
 
     Returns (sam_bytes, stats_bytes|None, total_seed_matches,
-    total_records); stats rows are the QUERYSTATS TSV fields."""
+    total_records); stats rows are the QUERYSTATS TSV fields.  `dist`,
+    if given, is a ctypes (c_int64 * 11) array filled with the per-batch
+    STATS distributions (Query.c:275-289): [queries, qlen_tot, qlen_min,
+    qlen_max, count_tot, count_min, count_max, nonaligned, clumps_tot,
+    clumps_min, clumps_max] (mins are INT64_MAX / max clumps -1 when
+    empty)."""
     lib = _load()
     import ctypes as ct
     _ab_sig(lib)
@@ -278,7 +283,9 @@ def align_batch_native(pr: ParsedReads, lo: int, hi: int, genome, index,
         ct.byref(out_text), ct.byref(out_len),
         ct.byref(stats_text) if want_stats else None,
         ct.byref(stats_lenv) if want_stats else None,
-        ct.byref(seed_total), ct.byref(rec_total))
+        ct.byref(seed_total), ct.byref(rec_total),
+        ct.cast(dist, ct.POINTER(ct.c_int64)) if dist is not None
+        else None)
     assert rc == 0
     try:
         text = ctypes.string_at(out_text, out_len.value)
@@ -326,59 +333,6 @@ def _pack_params(aa, n_threads):
     fp = np.array([aa.min_identity, aa.fbs_ps_length, aa.fbs_ps_score],
                   np.float64)
     return ip, fp
-
-
-def align_batch_full(seq_arr, seq_off, id_arr, id_off, qual_arr,
-                     genome, index, aa, n_threads=1) -> bytes:
-    """Full native per-read pipeline (yt_align_batch): reads -> SAM/Blast8
-    text.  seq_off/id_off may be slices of the full offset arrays (their
-    values are absolute offsets into the blobs)."""
-    lib = _load()
-    import ctypes as ct
-    if not hasattr(lib, "_ab_sig"):
-        u8p, i64p = ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int64)
-        lib.yt_align_batch.argtypes = [
-            u8p, i64p, u8p, i64p, u8p, ct.c_int64,
-            u8p, ct.c_int64, ct.c_int64,
-            i64p, i64p, ct.c_int64, u8p, i64p,
-            ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_uint32), ct.c_int64,
-            i64p, ct.POINTER(ct.c_double),
-            ct.POINTER(ct.c_void_p), i64p]
-        lib._ab_sig = True
-    codes, starts, lens, names_blob, name_offs = _genome_handles(genome)
-    so = index.starting_offs
-    roa = index.roa
-    if so.dtype != np.uint32:
-        so = np.ascontiguousarray(so, np.uint32)
-        index.starting_offs = so
-    if roa.dtype != np.uint32:
-        roa = np.ascontiguousarray(roa, np.uint32)
-        index.roa = roa
-    ip, fp = _pack_params(aa, n_threads)
-    n_reads = len(seq_off) - 1
-    seq_off = np.ascontiguousarray(seq_off, np.int64)
-    id_off = np.ascontiguousarray(id_off, np.int64)
-
-    def p64(a):
-        return a.ctypes.data_as(ct.POINTER(ct.c_int64))
-
-    out_text = ct.c_void_p()
-    out_len = ct.c_int64()
-    rc = lib.yt_align_batch(
-        _as_u8p(seq_arr), p64(seq_off), _as_u8p(id_arr), p64(id_off),
-        _as_u8p(qual_arr) if qual_arr is not None else None, n_reads,
-        _as_u8p(codes), len(codes), genome.max_roff,
-        p64(starts), p64(lens), genome.n_seqs,
-        _as_u8p(names_blob), p64(name_offs),
-        so.ctypes.data_as(ct.POINTER(ct.c_uint32)),
-        roa.ctypes.data_as(ct.POINTER(ct.c_uint32)), len(roa),
-        p64(ip), fp.ctypes.data_as(ct.POINTER(ct.c_double)),
-        ct.byref(out_text), ct.byref(out_len))
-    assert rc == 0
-    try:
-        return ctypes.string_at(out_text, out_len.value)
-    finally:
-        lib.yt_free(out_text)
 
 
 def build_index(genome, word_len, skip_dist, max_hits, n_threads=4):

@@ -147,6 +147,17 @@ struct Prof {
             clumps = 0;
 };
 static thread_local Prof* g_prof = nullptr;
+
+// Per-run query/hit/alignment distributions — the reference's STATS
+// compile-switch counters (Query.c:275-289, 416-418, 470-477), printed
+// under -v.  Accumulated per worker thread, merged at batch end.
+struct RunStats {
+    int64_t queries = 0, qlen_tot = 0;
+    int64_t qlen_min = INT64_MAX, qlen_max = 0;
+    int64_t cnt_tot = 0, cnt_min = INT64_MAX, cnt_max = 0;
+    int64_t nonaligned = 0, clumps_tot = 0;
+    int64_t clumps_min = INT64_MAX, clumps_max = -1;
+};
 static bool prof_enabled() {
     // Magic-static init: thread-safe (TSAN-clean under -t).
     static const bool v = [] {
@@ -2081,7 +2092,8 @@ static int64_t process_strand(State& st, bool rev) {
 // Returns (seed_matches, alignments_printed) for the QUERYSTATS analog
 // (Query.c:480-491; core/pipeline.align_query stats fields).
 static std::pair<int64_t, int64_t> align_read(State& st, std::string& out,
-                                              Prof* prof) {
+                                              Prof* prof,
+                                              RunStats* rs = nullptr) {
     // Per-query RNG seed from the read content (QueryState.c:171-187).
     uint32_t seed[5];
     query_seed(st.fwd_codes.data(), st.q_len, seed);
@@ -2091,8 +2103,9 @@ static std::pair<int64_t, int64_t> align_read(State& st, std::string& out,
     st.primary_count = 0;
     double t0 = prof ? now_s() : 0;
 
-    int64_t seed_matches = process_strand(st, false);
-    seed_matches += process_strand(st, true);
+    int64_t fwd_count = process_strand(st, false);
+    int64_t rev_count = process_strand(st, true);
+    int64_t seed_matches = fwd_count + rev_count;
     double t1 = prof ? now_s() : 0;
 
     // postProcessClumps (QueryMatch.c:306-331).
@@ -2124,6 +2137,24 @@ static std::pair<int64_t, int64_t> align_read(State& st, std::string& out,
         prof->print += t4 - t3;
         prof->reads++;
     }
+    if (rs) {
+        // Query.c:416-418 (per-strand total counts; min over non-zero
+        // strands) and 470-477 (per-query lengths / clumps out).
+        for (int64_t c : {fwd_count, rev_count}) {
+            rs->cnt_tot += c;
+            if (c > 0 && c < rs->cnt_min) rs->cnt_min = c;
+            if (c > rs->cnt_max) rs->cnt_max = c;
+        }
+        rs->queries++;
+        rs->qlen_tot += st.q_len;
+        if (st.q_len < rs->qlen_min) rs->qlen_min = st.q_len;
+        if (st.q_len > rs->qlen_max) rs->qlen_max = st.q_len;
+        rs->clumps_tot += n_aligns;
+        if (n_aligns > rs->clumps_max) rs->clumps_max = n_aligns;
+        if (n_aligns > 0 && n_aligns < rs->clumps_min)
+            rs->clumps_min = n_aligns;
+        if (n_aligns == 0) rs->nonaligned++;
+    }
     return {seed_matches, n_aligns};
 }
 
@@ -2150,7 +2181,8 @@ int yt_align_batch(
     const int64_t* iparams, const double* fparams,
     char** out_text, int64_t* out_len,
     char** stats_text, int64_t* stats_len,
-    int64_t* total_seed_matches, int64_t* total_records) {
+    int64_t* total_seed_matches, int64_t* total_records,
+    int64_t* dist_out) {
     using namespace yp;
     init_tables();
 
@@ -2210,11 +2242,15 @@ int yt_align_batch(
     std::atomic<int64_t> next{0};
     std::vector<Prof> profs((size_t)(n_threads > 0 ? n_threads : 1));
     std::atomic<int> prof_slot{0};
+    std::vector<RunStats> rstats((size_t)(n_threads > 0 ? n_threads : 1));
+    std::atomic<int> rs_slot{0};
 
     auto worker = [&]() {
         Prof* prof = prof_enabled()
             ? &profs[(size_t)prof_slot.fetch_add(1)] : nullptr;
         g_prof = prof;
+        RunStats* rs = dist_out
+            ? &rstats[(size_t)rs_slot.fetch_add(1)] : nullptr;
         yt_wide_scores = aa.max_query_length > 32000 ? 1 : 0;
         State st;
         st.aa = &aa;
@@ -2244,7 +2280,7 @@ int yt_align_batch(
                 st.rev_chars[(size_t)k] = (uint8_t)kChars[rc];
             }
             double ts = want_stats ? now_s() : 0;
-            auto sm_na = align_read(st, outs[(size_t)i], prof);
+            auto sm_na = align_read(st, outs[(size_t)i], prof, rs);
             seed_sum.fetch_add(sm_na.first, std::memory_order_relaxed);
             rec_sum.fetch_add(sm_na.second, std::memory_order_relaxed);
             if (want_stats) {
@@ -2269,6 +2305,29 @@ int yt_align_batch(
         for (int64_t t = 0; t < n_threads; t++)
             threads.emplace_back(worker);
         for (auto& th : threads) th.join();
+    }
+
+    if (dist_out) {
+        RunStats m;
+        for (const RunStats& r : rstats) {
+            m.queries += r.queries;
+            m.qlen_tot += r.qlen_tot;
+            m.qlen_min = std::min(m.qlen_min, r.qlen_min);
+            m.qlen_max = std::max(m.qlen_max, r.qlen_max);
+            m.cnt_tot += r.cnt_tot;
+            m.cnt_min = std::min(m.cnt_min, r.cnt_min);
+            m.cnt_max = std::max(m.cnt_max, r.cnt_max);
+            m.nonaligned += r.nonaligned;
+            m.clumps_tot += r.clumps_tot;
+            m.clumps_min = std::min(m.clumps_min, r.clumps_min);
+            m.clumps_max = std::max(m.clumps_max, r.clumps_max);
+        }
+        dist_out[0] = m.queries;     dist_out[1] = m.qlen_tot;
+        dist_out[2] = m.qlen_min;    dist_out[3] = m.qlen_max;
+        dist_out[4] = m.cnt_tot;     dist_out[5] = m.cnt_min;
+        dist_out[6] = m.cnt_max;     dist_out[7] = m.nonaligned;
+        dist_out[8] = m.clumps_tot;  dist_out[9] = m.clumps_min;
+        dist_out[10] = m.clumps_max;
     }
 
     if (prof_enabled()) {
