@@ -169,3 +169,27 @@ def test_native_verbose_stats_report(scratch):
            "query." in err
     assert "the min number of alignments was 1." in err
     assert "The max number of alignments per query was 1." in err
+
+
+def test_device_engine_threaded_pipeline_parity(scratch):
+    """-t N on the device engines pipelines batches through host threads
+    sharing the one device (PP-analog, cli.py tpool); output must be
+    byte-identical to the sequential run."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    r = subprocess.run(
+        [sys.executable, "-m", "yaha_tpu.cli", "-x",
+         "testgen.X11_01_65525S", "-q", "readsA_100bp.fasta",
+         "-t", "3", "--batch-size", "32", "--engine", "batch-xla",
+         "-osh", "tpipe.sam"],
+        cwd=scratch, env=env, capture_output=True, timeout=1200)
+    assert r.returncode == 0, r.stderr.decode()[-1500:]
+    with open(os.path.join(scratch, "tpipe.sam"), "rb") as f:
+        mine = f.read()
+    with open(os.path.join(GOLD, "A_default.sam"), "rb") as f:
+        golden = f.read()
+    strip = lambda b: b"\n".join(
+        l for l in b.split(b"\n") if not l.startswith(b"@PG"))
+    assert strip(mine) == strip(golden)

@@ -776,6 +776,28 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
                 max_workers=aa.num_threads,
                 initializer=_worker_init,
                 initargs=(aa, aa.gfile_name, aa.xfile_name, backend))
+    tpool = None
+    if aa.num_threads > 1 and backend in ("xla", "pallas"):
+        # PP-analog for the device engines (SURVEY.md section 2.2):
+        # -t N pipelines batches through N host threads sharing the one
+        # device — batch k's host phases (fragment coalescing, clump
+        # walks, SAM text) overlap batch k+1's device work (jax releases
+        # the GIL while blocked on the device).  Output is consumed in
+        # submission order, so bytes match the sequential run.
+        import concurrent.futures as cf
+        import threading as _th
+        if aligner.frontend is not None:
+            # The device front end keeps per-run device buffers; one
+            # batch at a time through it (device work serializes on the
+            # chip anyway — the overlap win is in the host phases).
+            _fe_lock = _th.Lock()
+            _pb = aligner.frontend.process_batch
+
+            def _locked_pb(states, _pb=_pb, _lk=_fe_lock):
+                with _lk:
+                    return _pb(states)
+            aligner.frontend.process_batch = _locked_pb
+        tpool = cf.ThreadPoolExecutor(max_workers=aa.num_threads)
     # Pipeline overlap (the PP analog, SURVEY.md section 2.2): a writer
     # thread emits batch k (serialize + flush + cursor) while the main
     # thread aligns batch k+1.  Output order and the resume cursor's
@@ -832,6 +854,19 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
                     raise emit_err[0]
                 n = n_done
                 emit_q.put(("".join(outs), n))
+        elif tpool is not None:
+            futures = []
+            for lo in range(start_read, len(records), batch_size):
+                batch = records[lo:lo + batch_size]
+                futures.append((lo + len(batch),
+                                tpool.submit(aligner.align_batch, batch)))
+            for n_done, fut in futures:
+                with timers.stage("align batch"):
+                    outs = fut.result()
+                if emit_err:
+                    raise emit_err[0]
+                n = n_done
+                emit_q.put(("".join(outs), n))
         else:
             with device_trace(trace_dir):
                 for lo in range(start_read, len(records), batch_size):
@@ -862,6 +897,8 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
             writer.join(timeout=30)
         if pool is not None:
             pool.shutdown()
+        if tpool is not None:
+            tpool.shutdown(wait=False, cancel_futures=True)
         if out is not sys.stdout:
             out.close()
             if os.path.exists(cursor_path) and n >= len(records):
