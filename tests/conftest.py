@@ -10,6 +10,12 @@ xf = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xf:
     os.environ["XLA_FLAGS"] = (
         xf + " --xla_force_host_platform_device_count=8").strip()
+# Persistent XLA compilation cache: the 8-vdev CPU compiles of the
+# chain-DP test programs cost minutes cold (NOTES.md); warm reruns of
+# the suite hit the on-disk executables instead.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/yaha_tpu/xla"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -256,16 +256,15 @@ class BatchAligner:
                 np.pad(rlens, (0, pad)),
                 np.pad(lbws, (0, pad)),
                 np.pad(rbws, (0, pad)), wband=wband, **kw)
-            eo_b = np.asarray(out["eo_b"])[:n]
-            idc_b = np.asarray(out["idc_b"])[:n]
+            bt_b = np.asarray(out["bt_b"])[:n]
             score_arr = np.asarray(out["score"])[:n]
             from ..native import host as native_host
             if native_host.available():
-                all_items = native_host.traceback_anchored_banded_batch(
-                    eo_b, idc_b, qlens, rlens, lbws)
+                all_items = native_host.traceback_anchored_banded_packed_batch(
+                    bt_b, qlens, rlens, lbws)
             else:
-                all_items = [dp_common.traceback_anchored_banded(
-                    eo_b[k], idc_b[k], int(lbws[k]), p.qlen, p.rlen)
+                all_items = [dp_common.traceback_anchored_banded_packed(
+                    bt_b[k], int(lbws[k]), p.qlen, p.rlen)
                     for k, p in enumerate(problems)]
             for k, p in enumerate(problems):
                 p.sfrag.eol.items = all_items[k]
@@ -286,7 +285,19 @@ class BatchAligner:
                 np.pad(rlens, (0, pad)),
                 np.pad(lbws, (0, pad)),
                 np.pad(rbws, (0, pad)), **kw)
-            out = {k2: np.asarray(v)[:n] for k2, v in out.items()}
+            bt = np.asarray(out["bt"])[:n]
+            score_arr = np.asarray(out["score"])[:n]
+            from ..native import host as native_host
+            if native_host.available():
+                all_items = native_host.traceback_anchored_packed_batch(
+                    bt, qlens, rlens)
+            else:
+                all_items = [dp_common.traceback_anchored_packed(
+                    bt[k], p.qlen, p.rlen) for k, p in enumerate(problems)]
+            for k, p in enumerate(problems):
+                p.sfrag.eol.items = all_items[k]
+                p.sfrag.score = int(score_arr[k])
+            return
         else:
             from ..ops import sw_batch
             sqa, sql, sra, srl, slb, srb = self._shard_dp(
@@ -405,12 +416,13 @@ class BatchAligner:
         elif self.backend == "pallas":
             from ..ops import sw_pallas
             pad = (-n) % sw_pallas.TILE
-            out = sw_pallas.extension_forward_pallas(
+            pout = sw_pallas.extension_forward_pallas(
                 np.pad(qa, ((0, pad), (0, 0))),
                 np.pad(qlens, (0, pad)),
                 np.pad(ra, ((0, pad), (0, 0)), constant_values=255),
                 np.pad(rlens, (0, pad)), **kw)
-            out = {k2: np.asarray(v)[:n] for k2, v in out.items()}
+            out = {k2: np.asarray(v)[:n] for k2, v in pout.items()}
+            out["packed"] = True
         else:
             from ..ops import sw_batch
             sqa, sql, sra, srl = self._shard_dp((qa, qlens, ra, rlens))
@@ -418,11 +430,16 @@ class BatchAligner:
                 sqa, sql, sra, srl, **kw)
             out = {k2: np.asarray(v)[:n] for k2, v in out.items()}
         from ..native import host as native_host
+        packed = out.get("packed", False)
         if native_host.available():
             rev = np.array([p.reverse for p in problems], np.uint8)
-            all_items = native_host.traceback_extension_batch(
-                out["eo"], out["idc"], out["maxi"], out["maxj"],
-                out["score"], rev)
+            if packed:
+                all_items = native_host.traceback_extension_packed_batch(
+                    out["bt"], out["maxi"], out["maxj"], out["score"], rev)
+            else:
+                all_items = native_host.traceback_extension_batch(
+                    out["eo"], out["idc"], out["maxi"], out["maxj"],
+                    out["score"], rev)
         else:
             all_items = None
         for k, p in enumerate(problems):
@@ -431,6 +448,10 @@ class BatchAligner:
                 items = all_items[k]
                 aq = int(out["maxi"][k])
                 ar = aq + (int(out["maxj"][k]) - bw2)
+            elif packed:
+                items, aq, ar = dp_common.traceback_extension_packed(
+                    out["bt"][k], int(out["maxi"][k]),
+                    int(out["maxj"][k]), score, bw2, p.reverse)
             else:
                 items, aq, ar = dp_common.traceback_extension(
                     out["eo"][k], out["idc"][k], int(out["maxi"][k]),

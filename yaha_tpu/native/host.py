@@ -521,17 +521,30 @@ def _tb_sig(lib):
             ct.c_int64, ct.c_int64, ct.c_int64,
             ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int32),
             ct.POINTER(ct.c_int64), ct.c_int64]
-        lib.yt_traceback_anchored_banded_batch.argtypes = [
-            ct.POINTER(ct.c_int8), ct.POINTER(ct.c_int32),
-            ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
-            ct.POINTER(ct.c_int64),
-            ct.c_int64, ct.c_int64, ct.c_int64,
-            ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int32),
-            ct.POINTER(ct.c_int64), ct.c_int64]
         lib.yt_traceback_extension_batch.argtypes = [
             ct.POINTER(ct.c_int8), ct.POINTER(ct.c_int32),
             ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
             ct.POINTER(ct.c_int32), ct.POINTER(ct.c_uint8),
+            ct.c_int64, ct.c_int64, ct.c_int64,
+            ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int64), ct.c_int64]
+        lib.yt_traceback_extension_packed_batch.argtypes = [
+            ct.POINTER(ct.c_int8),
+            ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32), ct.POINTER(ct.c_uint8),
+            ct.c_int64, ct.c_int64, ct.c_int64,
+            ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int64), ct.c_int64]
+        lib.yt_traceback_anchored_packed_batch.argtypes = [
+            ct.POINTER(ct.c_int8),
+            ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
+            ct.c_int64, ct.c_int64, ct.c_int64,
+            ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int64), ct.c_int64]
+        lib.yt_traceback_anchored_banded_packed_batch.argtypes = [
+            ct.POINTER(ct.c_int8),
+            ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64),
             ct.c_int64, ct.c_int64, ct.c_int64,
             ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int32),
             ct.POINTER(ct.c_int64), ct.c_int64]
@@ -564,39 +577,6 @@ def traceback_anchored_batch(eo, idc, qlens, rlens):
     rc = lib.yt_traceback_anchored_batch(
         p(eo, ct.c_int8), p(idc, ct.c_int32), p(qlens, ct.c_int64),
         p(rlens, ct.c_int64), n, eo_h, eo_w,
-        p(ops, ct.c_uint8), p(lens, ct.c_int32), p(offs, ct.c_int64), cap)
-    assert rc == 0
-    used = int(offs[n])
-    ops_b = ops[:used].tobytes().decode("latin1")
-    lens = lens[:used].tolist()
-    offs = offs.tolist()
-    return [_tb_items(ops_b, lens, offs[k], offs[k + 1]) for k in range(n)]
-
-
-def traceback_anchored_banded_batch(eo_b, idc_b, qlens, rlens, lbws):
-    """Batched anchored decode over band-relative arrays (column
-    o = j - i + lbw); same items as traceback_anchored_batch on the
-    unshifted full-matrix arrays."""
-    lib = _load()
-    import ctypes as ct
-    _tb_sig(lib)
-    eo_b = np.ascontiguousarray(eo_b, np.int8)
-    idc_b = np.ascontiguousarray(idc_b, np.int32)
-    n, eo_h, eo_w = eo_b.shape
-    qlens = np.ascontiguousarray(qlens, np.int64)
-    rlens = np.ascontiguousarray(rlens, np.int64)
-    lbws = np.ascontiguousarray(lbws, np.int64)
-    cap = int(np.sum(qlens + rlens) + 2 * n + 8)
-    ops = np.empty(cap, np.uint8)
-    lens = np.empty(cap, np.int32)
-    offs = np.empty(n + 1, np.int64)
-
-    def p(a, t):
-        return a.ctypes.data_as(ct.POINTER(t))
-
-    rc = lib.yt_traceback_anchored_banded_batch(
-        p(eo_b, ct.c_int8), p(idc_b, ct.c_int32), p(qlens, ct.c_int64),
-        p(rlens, ct.c_int64), p(lbws, ct.c_int64), n, eo_h, eo_w,
         p(ops, ct.c_uint8), p(lens, ct.c_int32), p(offs, ct.c_int64), cap)
     assert rc == 0
     used = int(offs[n])
@@ -639,6 +619,103 @@ def traceback_extension_batch(eo, idc, maxi, maxj, score, reverse):
         # A path alternating 1-base inserts/deletes can emit up to ~2*qlen
         # runs per problem, exceeding the (eo_h + eo_w + 2) estimate; retry
         # with a doubled buffer instead of aborting.
+        cap *= 2
+    used = int(offs[n])
+    ops_b = ops[:used].tobytes().decode("latin1")
+    lens = lens[:used].tolist()
+    offs = offs.tolist()
+    return [_tb_items(ops_b, lens, offs[k], offs[k + 1]) for k in range(n)]
+
+
+def traceback_anchored_packed_batch(bt, qlens, rlens):
+    """Packed-plane twin of traceback_anchored_batch (full coordinates;
+    bt is the int8 op|BT_CD|BT_CF plane from sw_pallas)."""
+    lib = _load()
+    import ctypes as ct
+    _tb_sig(lib)
+    bt = np.ascontiguousarray(bt, np.int8)
+    n, eo_h, eo_w = bt.shape
+    qlens = np.ascontiguousarray(qlens, np.int64)
+    rlens = np.ascontiguousarray(rlens, np.int64)
+    cap = int(np.sum(qlens + rlens) + 2 * n + 8)
+    ops = np.empty(cap, np.uint8)
+    lens = np.empty(cap, np.int32)
+    offs = np.empty(n + 1, np.int64)
+
+    def p(a, t):
+        return a.ctypes.data_as(ct.POINTER(t))
+
+    rc = lib.yt_traceback_anchored_packed_batch(
+        p(bt, ct.c_int8), p(qlens, ct.c_int64), p(rlens, ct.c_int64),
+        n, eo_h, eo_w,
+        p(ops, ct.c_uint8), p(lens, ct.c_int32), p(offs, ct.c_int64), cap)
+    assert rc == 0
+    used = int(offs[n])
+    ops_b = ops[:used].tobytes().decode("latin1")
+    lens = lens[:used].tolist()
+    offs = offs.tolist()
+    return [_tb_items(ops_b, lens, offs[k], offs[k + 1]) for k in range(n)]
+
+
+def traceback_anchored_banded_packed_batch(bt_b, qlens, rlens, lbws):
+    """Batched anchored packed-plane decode in band-relative layout
+    (band-relative column o = j - i + lbw)."""
+    lib = _load()
+    import ctypes as ct
+    _tb_sig(lib)
+    bt_b = np.ascontiguousarray(bt_b, np.int8)
+    n, eo_h, eo_w = bt_b.shape
+    qlens = np.ascontiguousarray(qlens, np.int64)
+    rlens = np.ascontiguousarray(rlens, np.int64)
+    lbws = np.ascontiguousarray(lbws, np.int64)
+    cap = int(np.sum(qlens + rlens) + 2 * n + 8)
+    ops = np.empty(cap, np.uint8)
+    lens = np.empty(cap, np.int32)
+    offs = np.empty(n + 1, np.int64)
+
+    def p(a, t):
+        return a.ctypes.data_as(ct.POINTER(t))
+
+    rc = lib.yt_traceback_anchored_banded_packed_batch(
+        p(bt_b, ct.c_int8), p(qlens, ct.c_int64), p(rlens, ct.c_int64),
+        p(lbws, ct.c_int64), n, eo_h, eo_w,
+        p(ops, ct.c_uint8), p(lens, ct.c_int32), p(offs, ct.c_int64), cap)
+    assert rc == 0
+    used = int(offs[n])
+    ops_b = ops[:used].tobytes().decode("latin1")
+    lens = lens[:used].tolist()
+    offs = offs.tolist()
+    return [_tb_items(ops_b, lens, offs[k], offs[k + 1]) for k in range(n)]
+
+
+def traceback_extension_packed_batch(bt, maxi, maxj, score, reverse):
+    """Packed-plane twin of traceback_extension_batch."""
+    lib = _load()
+    import ctypes as ct
+    _tb_sig(lib)
+    bt = np.ascontiguousarray(bt, np.int8)
+    n, eo_h, eo_w = bt.shape
+    maxi = np.ascontiguousarray(maxi, np.int32)
+    maxj = np.ascontiguousarray(maxj, np.int32)
+    score = np.ascontiguousarray(score, np.int32)
+    reverse = np.ascontiguousarray(reverse, np.uint8)
+    cap = int(n * (eo_h + eo_w + 2) + 8)
+
+    def p(a, t):
+        return a.ctypes.data_as(ct.POINTER(t))
+
+    while True:
+        ops = np.empty(cap, np.uint8)
+        lens = np.empty(cap, np.int32)
+        offs = np.empty(n + 1, np.int64)
+        rc = lib.yt_traceback_extension_packed_batch(
+            p(bt, ct.c_int8), p(maxi, ct.c_int32),
+            p(maxj, ct.c_int32), p(score, ct.c_int32),
+            p(reverse, ct.c_uint8), n, eo_h, eo_w,
+            p(ops, ct.c_uint8), p(lens, ct.c_int32), p(offs, ct.c_int64),
+            cap)
+        if rc == 0:
+            break
         cap *= 2
     used = int(offs[n])
     ops_b = ops[:used].tobytes().decode("latin1")

@@ -1318,56 +1318,6 @@ int yt_traceback_anchored_batch(const int8_t* eo, const int32_t* idc,
     return 0;
 }
 
-// Anchored walk over band-relative backtrack arrays (column o =
-// j - i + lbw, the layout sw_pallas.anchored_forward_pallas_banded
-// emits).  Identical decode to yt_traceback_anchored_batch after the
-// change of frame: M/R keeps o, Delete moves o -= len, Insert moves
-// y -= len / o += len.
-int yt_traceback_anchored_banded_batch(
-        const int8_t* eo, const int32_t* idc, const int64_t* qlens,
-        const int64_t* rlens, const int64_t* lbws, int64_t n,
-        int64_t eo_h, int64_t eo_w, uint8_t* ops, int32_t* lens,
-        int64_t* offs, int64_t cap) {
-    static const char opch[5] = {'U', 'M', 'R', 'I', 'D'};
-    int64_t pos = 0;
-    for (int64_t k = 0; k < n; k++) {
-        offs[k] = pos;
-        const int8_t* e = eo + k * eo_h * eo_w;
-        const int32_t* d = idc + k * eo_h * eo_w;
-        int64_t y = qlens[k];
-        int64_t o = rlens[k] - y + lbws[k];
-        int prev = e[y * eo_w + o];
-        int64_t op_len = 0;
-        int64_t start = pos;
-        for (;;) {
-            int code = e[y * eo_w + o];
-            if (code == 0) break;        // OP_UNKNOWN
-            int64_t length = d[y * eo_w + o];
-            if (code == 4) o -= length;               // delete
-            else if (code == 3) { y -= length; o += length; }  // insert
-            else { y -= 1; length = 1; }
-            if (prev != code) {
-                if (pos >= cap) return -1;
-                ops[pos] = (uint8_t)opch[prev];
-                lens[pos++] = (int32_t)op_len;
-                prev = code;
-                op_len = length;
-            } else {
-                op_len += length;
-            }
-        }
-        if (pos >= cap) return -1;
-        ops[pos] = (uint8_t)opch[prev];
-        lens[pos++] = (int32_t)op_len;
-        for (int64_t a = start, b = pos - 1; a < b; a++, b--) {
-            uint8_t t0 = ops[a]; ops[a] = ops[b]; ops[b] = t0;
-            int32_t t1 = lens[a]; lens[a] = lens[b]; lens[b] = t1;
-        }
-    }
-    offs[n] = pos;
-    return 0;
-}
-
 // Extension walk (banded arm, SW.cpp:1137-1168).  reverse problems keep
 // walk order (merge_to_front), forward problems are reversed.  Problems
 // with score <= 0 decode to an empty run list.
@@ -1414,6 +1364,181 @@ int yt_traceback_extension_batch(const int8_t* eo, const int32_t* idc,
                 uint8_t t0 = ops[a]; ops[a] = ops[b]; ops[b] = t0;
                 int32_t t1 = lens[a]; lens[a] = lens[b]; lens[b] = t1;
             }
+        }
+    }
+    offs[n] = pos;
+    return 0;
+}
+
+// ---- packed-backtrack walkers ----
+//
+// The Pallas kernels stream one byte per band cell: op in bits 0-2,
+// "delete run continues one cell left" in bit 3 (BT_CD), "insert run
+// continues up the chain" in bit 4 (BT_CF).  Run lengths are recovered
+// by chasing the continue bits, reproducing exactly the IDCount runs the
+// unpacked walkers above read (the bits are the forward pass's pd/ii
+// counters, ops/sw_pallas.py).
+#define YT_BT_OP 7
+#define YT_BT_CD 8
+#define YT_BT_CF 16
+
+// Extension walk, band coordinates: delete chases left along the row,
+// insert chases (y-1, x+1).
+int yt_traceback_extension_packed_batch(
+        const int8_t* bt, const int32_t* maxi, const int32_t* maxj,
+        const int32_t* score, const uint8_t* reverse,
+        int64_t n, int64_t eo_h, int64_t eo_w,
+        uint8_t* ops, int32_t* lens, int64_t* offs, int64_t cap) {
+    static const char opch[5] = {'U', 'M', 'R', 'I', 'D'};
+    int64_t pos = 0;
+    for (int64_t k = 0; k < n; k++) {
+        offs[k] = pos;
+        if (score[k] <= 0) continue;
+        const int8_t* e = bt + k * eo_h * eo_w;
+        int64_t x = maxj[k], y = maxi[k];
+        int prev = e[y * eo_w + x] & YT_BT_OP;
+        int64_t op_len = 0;
+        int64_t start = pos;
+        for (;;) {
+            int b = e[y * eo_w + x];
+            int code = b & YT_BT_OP;
+            if (code == 0) break;
+            int64_t length = 1;
+            if (code == 4) {                         // delete: left in band
+                int64_t xx = x;
+                while (e[y * eo_w + xx] & YT_BT_CD) { length++; xx--; }
+                x -= length;
+            } else if (code == 3) {                  // insert: up-right
+                int64_t yy = y, xx = x;
+                while (e[yy * eo_w + xx] & YT_BT_CF) { length++; yy--; xx++; }
+                x += length; y -= length;
+            } else {                                 // M/R: up
+                y -= 1;
+            }
+            if (prev != code) {
+                if (pos >= cap) return -1;
+                ops[pos] = (uint8_t)opch[prev];
+                lens[pos++] = (int32_t)op_len;
+                prev = code;
+                op_len = length;
+            } else {
+                op_len += length;
+            }
+        }
+        if (pos >= cap) return -1;
+        ops[pos] = (uint8_t)opch[prev];
+        lens[pos++] = (int32_t)op_len;
+        if (!reverse[k]) {
+            for (int64_t a = start, b = pos - 1; a < b; a++, b--) {
+                uint8_t t0 = ops[a]; ops[a] = ops[b]; ops[b] = t0;
+                int32_t t1 = lens[a]; lens[a] = lens[b]; lens[b] = t1;
+            }
+        }
+    }
+    offs[n] = pos;
+    return 0;
+}
+
+// Anchored walk, full coordinates: insert chases straight up the column.
+int yt_traceback_anchored_packed_batch(
+        const int8_t* bt, const int64_t* qlens, const int64_t* rlens,
+        int64_t n, int64_t eo_h, int64_t eo_w,
+        uint8_t* ops, int32_t* lens, int64_t* offs, int64_t cap) {
+    static const char opch[5] = {'U', 'M', 'R', 'I', 'D'};
+    int64_t pos = 0;
+    for (int64_t k = 0; k < n; k++) {
+        offs[k] = pos;
+        const int8_t* e = bt + k * eo_h * eo_w;
+        int64_t x = rlens[k], y = qlens[k];
+        int prev = e[y * eo_w + x] & YT_BT_OP;
+        int64_t op_len = 0;
+        int64_t start = pos;
+        for (;;) {
+            int b = e[y * eo_w + x];
+            int code = b & YT_BT_OP;
+            if (code == 0) break;
+            int64_t length = 1;
+            if (code == 4) {                         // delete: left
+                int64_t xx = x;
+                while (e[y * eo_w + xx] & YT_BT_CD) { length++; xx--; }
+                x -= length;
+            } else if (code == 3) {                  // insert: up
+                int64_t yy = y;
+                while (e[yy * eo_w + x] & YT_BT_CF) { length++; yy--; }
+                y -= length;
+            } else {                                 // M/R: diagonal
+                x -= 1; y -= 1;
+            }
+            if (prev != code) {
+                if (pos >= cap) return -1;
+                ops[pos] = (uint8_t)opch[prev];
+                lens[pos++] = (int32_t)op_len;
+                prev = code;
+                op_len = length;
+            } else {
+                op_len += length;
+            }
+        }
+        if (pos >= cap) return -1;
+        ops[pos] = (uint8_t)opch[prev];
+        lens[pos++] = (int32_t)op_len;
+        for (int64_t a = start, b = pos - 1; a < b; a++, b--) {
+            uint8_t t0 = ops[a]; ops[a] = ops[b]; ops[b] = t0;
+            int32_t t1 = lens[a]; lens[a] = lens[b]; lens[b] = t1;
+        }
+    }
+    offs[n] = pos;
+    return 0;
+}
+
+// Anchored walk, band-relative coordinates (column o = j - i + lbw):
+// delete chases left along the row, insert chases (y-1, o+1).
+int yt_traceback_anchored_banded_packed_batch(
+        const int8_t* bt, const int64_t* qlens, const int64_t* rlens,
+        const int64_t* lbws, int64_t n, int64_t eo_h, int64_t eo_w,
+        uint8_t* ops, int32_t* lens, int64_t* offs, int64_t cap) {
+    static const char opch[5] = {'U', 'M', 'R', 'I', 'D'};
+    int64_t pos = 0;
+    for (int64_t k = 0; k < n; k++) {
+        offs[k] = pos;
+        const int8_t* e = bt + k * eo_h * eo_w;
+        int64_t y = qlens[k];
+        int64_t o = rlens[k] - y + lbws[k];
+        int prev = e[y * eo_w + o] & YT_BT_OP;
+        int64_t op_len = 0;
+        int64_t start = pos;
+        for (;;) {
+            int b = e[y * eo_w + o];
+            int code = b & YT_BT_OP;
+            if (code == 0) break;
+            int64_t length = 1;
+            if (code == 4) {                         // delete
+                int64_t oo = o;
+                while (e[y * eo_w + oo] & YT_BT_CD) { length++; oo--; }
+                o -= length;
+            } else if (code == 3) {                  // insert: up-right
+                int64_t yy = y, oo = o;
+                while (e[yy * eo_w + oo] & YT_BT_CF) { length++; yy--; oo++; }
+                y -= length; o += length;
+            } else {                                 // M/R: up (same o)
+                y -= 1;
+            }
+            if (prev != code) {
+                if (pos >= cap) return -1;
+                ops[pos] = (uint8_t)opch[prev];
+                lens[pos++] = (int32_t)op_len;
+                prev = code;
+                op_len = length;
+            } else {
+                op_len += length;
+            }
+        }
+        if (pos >= cap) return -1;
+        ops[pos] = (uint8_t)opch[prev];
+        lens[pos++] = (int32_t)op_len;
+        for (int64_t a = start, b = pos - 1; a < b; a++, b--) {
+            uint8_t t0 = ops[a]; ops[a] = ops[b]; ops[b] = t0;
+            int32_t t1 = lens[a]; lens[a] = lens[b]; lens[b] = t1;
         }
     }
     offs[n] = pos;

@@ -34,9 +34,19 @@ SUB = 8
 LANE = 128
 TILE = SUB * LANE  # problems per tile
 
+# Packed backtrack byte: bits 0-2 the op code, bit 3 "delete run
+# continues one cell left", bit 4 "insert run continues up the chain".
+# The int16/int32 run-length (IDCount) plane the XLA twins emit is fully
+# reconstructible from these bits (run length = 1 + length of the
+# continue-bit chain), so the kernels stream 1 byte per band cell to HBM
+# instead of 3-5 — the kernels are output-bandwidth-bound (BASELINE.md).
+BT_OP = 7
+BT_CD = 8
+BT_CF = 16
+
 
 def _ext_kernel(q_ref, r_ref, qlens_ref, rlens_ref,
-                eo_out, idc_out, score_out, maxi_out, maxj_out,
+                bt_out, score_out, maxi_out, maxj_out,
                 pv, pf, pi, max_score, maxi, maxj, done,
                 *, w, bw2, go, ge, rc, ms, max_gap, max_intron, x_cutoff):
     g = pl.program_id(1)  # 0 = row-0 init, else query row i = g
@@ -65,11 +75,12 @@ def _ext_kernel(q_ref, r_ref, qlens_ref, rlens_ref,
             pi[j] = full(0)
             if j < w:
                 if j > bw2:
-                    eo_out[0, j, 0] = full(OP_DELETE, jnp.int8)
-                    idc_out[0, j, 0] = full(j - bw2, jnp.int16)
+                    # Row-0 delete boundary: run length j - bw2, encoded
+                    # as a continue-bit chain back to column bw2 + 1.
+                    cd = BT_CD if j - bw2 >= 2 else 0
+                    bt_out[0, j, 0] = full(OP_DELETE + cd, jnp.int8)
                 else:
-                    eo_out[0, j, 0] = full(OP_UNKNOWN, jnp.int8)
-                    idc_out[0, j, 0] = full(0, jnp.int16)
+                    bt_out[0, j, 0] = full(OP_UNKNOWN, jnp.int8)
         max_score[0] = full(DP_WORST)
         maxi[0] = full(0)
         maxj[0] = full(0)
@@ -103,7 +114,6 @@ def _ext_kernel(q_ref, r_ref, qlens_ref, rlens_ref,
             neq = jnp.minimum(jnp.abs(q_char - r_char), 1)
             gscore = v + ms - neq * (ms + rc)
             opcode = full(OP_MATCH) + neq * (OP_REPLACE - OP_MATCH)
-            cell_idc = full(0)
 
             # Delete, checked first (SW.cpp:1026-1041).
             ce = pe_col - ge
@@ -114,7 +124,6 @@ def _ext_kernel(q_ref, r_ref, qlens_ref, rlens_ref,
             take_d = pe_new >= gscore   # extension tie rule: >=
             v1 = jnp.where(take_d, pe_new, gscore)
             opcode = jnp.where(take_d, full(OP_DELETE), opcode)
-            cell_idc = jnp.where(take_d, pd_new, cell_idc)
 
             # Insert (SW.cpp:1043-1060).
             cf = pf[j + 1] - ge
@@ -125,19 +134,21 @@ def _ext_kernel(q_ref, r_ref, qlens_ref, rlens_ref,
             take_f = f >= v1
             v2 = jnp.where(take_f, f, v1)
             opcode = jnp.where(take_f, full(OP_INSERT), opcode)
-            cell_idc = jnp.where(take_f, ii, cell_idc)
 
             pf[j] = jnp.where(active, f, pf[j])
             pi[j] = jnp.where(active, ii, pi[j])
+            # Packed backtrack: op plus gap-run continue bits (the run
+            # lengths pd_new/ii are >= 1, so min(x-1, 1) is the bit).
+            packed = (opcode + BT_CD * jnp.minimum(pd_new - 1, 1)
+                      + BT_CF * jnp.minimum(ii - 1, 1))
             # The anti-diagonal insert init lives at j == bw2 - i, which is
-            # below startCol for this row (SW.cpp:925-933).
+            # below startCol for this row (SW.cpp:925-933); its run length
+            # i continues up the (y-1, x+1) chain of earlier init cells.
             init_cell = edge & (j == bw2 - i)
-            eo_fill = jnp.where(init_cell, full(OP_INSERT), full(OP_UNKNOWN))
-            idc_fill = jnp.where(init_cell, full(i), full(0))
-            eo_out[0, j, 0] = jnp.where(active, opcode,
-                                        eo_fill).astype(jnp.int8)
-            idc_out[0, j, 0] = jnp.where(active, cell_idc,
-                                         idc_fill).astype(jnp.int16)
+            ins_fill = full(OP_INSERT) + BT_CF * jnp.minimum(i - 1, 1)
+            bt_fill = jnp.where(init_cell, ins_fill, full(OP_UNKNOWN))
+            bt_out[0, j, 0] = jnp.where(active, packed,
+                                        bt_fill).astype(jnp.int8)
             pv[j] = jnp.where(active, v2, pv[j])
 
             row_max = jnp.where(active, jnp.maximum(row_max, v2), row_max)
@@ -172,7 +183,7 @@ def _ext_kernel(q_ref, r_ref, qlens_ref, rlens_ref,
 
 
 def _anch_kernel(q_ref, r_ref, qlens_ref, rlens_ref, lbw_ref, rbw_ref,
-                 eo_out, idc_out, score_out,
+                 bt_out, score_out,
                  pv, pf, pi, score,
                  *, wid, go, ge, rc, ms, max_gap, max_intron):
     """Anchored (gap-fill) DP row step; masked full-matrix band semantics
@@ -195,8 +206,7 @@ def _anch_kernel(q_ref, r_ref, qlens_ref, rlens_ref, lbw_ref, rbw_ref,
         pv[0] = full(0)
         pf[0] = full(DP_WORST)
         pi[0] = full(0)
-        eo_out[0, 0, 0] = full(OP_UNKNOWN, jnp.int8)
-        idc_out[0, 0, 0] = full(0)
+        bt_out[0, 0, 0] = full(OP_UNKNOWN, jnp.int8)
         live_hi = jnp.minimum(rbw, rlens)
 
         def init_col(j, _):
@@ -207,8 +217,10 @@ def _anch_kernel(q_ref, r_ref, qlens_ref, rlens_ref, lbw_ref, rbw_ref,
             pv[j] = lv * (full(-(go)) - j * ge) + (1 - lv) * DP_WORST
             pf[j] = full(DP_WORST)
             pi[j] = full(0)
-            eo_out[0, j, 0] = (lv * OP_DELETE).astype(jnp.int8)
-            idc_out[0, j, 0] = lv * j
+            # Delete boundary of run length j: continue bit for j >= 2.
+            bt_out[0, j, 0] = (lv * (OP_DELETE + BT_CD *
+                                     jnp.minimum(j - 1, 1))
+                               ).astype(jnp.int8)
             return 0
         jax.lax.fori_loop(1, wid, init_col, 0)
         score[0] = full(DP_WORST)
@@ -225,8 +237,10 @@ def _anch_kernel(q_ref, r_ref, qlens_ref, rlens_ref, lbw_ref, rbw_ref,
         prev0 = pv[0]
         pv[0] = jnp.where(col0_live, edge_val, pv[0])
         lv0 = col0_live.astype(i32)
-        eo_out[0, 0, 0] = (lv0 * OP_INSERT).astype(jnp.int8)
-        idc_out[0, 0, 0] = lv0 * i
+        # Column-0 insert boundary of run length i: chain continues
+        # straight up (full coordinates) through row i - 1's boundary.
+        bt_out[0, 0, 0] = (lv0 * (OP_INSERT + BT_CF *
+                                  jnp.minimum(i - 1, 1))).astype(jnp.int8)
 
         q_char = q_ref[i - 1, 0].astype(i32)
 
@@ -240,7 +254,6 @@ def _anch_kernel(q_ref, r_ref, qlens_ref, rlens_ref, lbw_ref, rbw_ref,
             neq = jnp.minimum(jnp.abs(q_char - r_char), 1)
             gscore = v + ms - neq * (ms + rc)
             opcode = full(OP_MATCH) + neq * (OP_REPLACE - OP_MATCH)
-            cell_idc = full(0)
 
             ce = pe_col - ge
             ne = pv_col - (go + ge)
@@ -250,7 +263,6 @@ def _anch_kernel(q_ref, r_ref, qlens_ref, rlens_ref, lbw_ref, rbw_ref,
             take_d = pe_new > gscore   # anchored tie rule: strict >
             v1 = jnp.where(take_d, pe_new, gscore)
             opcode = jnp.where(take_d, full(OP_DELETE), opcode)
-            cell_idc = jnp.where(take_d, pd_new, cell_idc)
 
             cf = pf[j] - ge
             nf = old_j - (go + ge)
@@ -260,13 +272,13 @@ def _anch_kernel(q_ref, r_ref, qlens_ref, rlens_ref, lbw_ref, rbw_ref,
             take_f = f > v1
             v2 = jnp.where(take_f, f, v1)
             opcode = jnp.where(take_f, full(OP_INSERT), opcode)
-            cell_idc = jnp.where(take_f, ii, cell_idc)
 
             pf[j] = jnp.where(active, f, pf[j])
             pi[j] = jnp.where(active, ii, pi[j])
-            eo_out[0, j, 0] = jnp.where(active, opcode,
+            packed = (opcode + BT_CD * jnp.minimum(pd_new - 1, 1)
+                      + BT_CF * jnp.minimum(ii - 1, 1))
+            bt_out[0, j, 0] = jnp.where(active, packed,
                                         full(OP_UNKNOWN)).astype(jnp.int8)
-            idc_out[0, j, 0] = jnp.where(active, cell_idc, full(0))
             pv[j] = jnp.where(active, v2, pv[j])
             score[0] = jnp.where(active & (i == qlens) & (j == rlens),
                                  v2, score[0])
@@ -293,7 +305,10 @@ def anchored_forward_pallas(q, qlens, r, rlens, left_bw, right_bw, *, go,
     """Pallas anchored forward; same contract as batched_anchored_forward
     but with N a multiple of TILE=1024.
 
-    Returns score [N], eo [N, QL+1, RL+1] int8, idc [N, QL+1, RL+1] int32.
+    Returns score [N] and the packed backtrack bt [N, QL+1, RL+1] int8
+    (op | BT_CD | BT_CF; insert chains run straight up in full
+    coordinates).  Decode with traceback_anchored_packed walkers or
+    expand with unpack_backtrack(bt, insert_chain="up").
     """
     n, ql_max = q.shape
     rl_max = r.shape[1]
@@ -314,11 +329,9 @@ def anchored_forward_pallas(q, qlens, r, rlens, left_bw, right_bw, *, go,
 
     out_shapes = (
         jax.ShapeDtypeStruct((ql_max + 1, wid, tiles, SUB, LANE), jnp.int8),
-        jax.ShapeDtypeStruct((ql_max + 1, wid, tiles, SUB, LANE),
-                             jnp.int32),
         jax.ShapeDtypeStruct((1, tiles, SUB, LANE), jnp.int32),
     )
-    eo, idc, score = pl.pallas_call(
+    bt, score = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -330,8 +343,6 @@ def anchored_forward_pallas(q, qlens, r, rlens, left_bw, right_bw, *, go,
             pl.BlockSpec((1, SUB, LANE), lambda t, g: (t, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, wid, 1, SUB, LANE),
-                         lambda t, g: (g, 0, t, 0, 0)),
             pl.BlockSpec((1, wid, 1, SUB, LANE),
                          lambda t, g: (g, 0, t, 0, 0)),
             pl.BlockSpec((1, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
@@ -351,14 +362,13 @@ def anchored_forward_pallas(q, qlens, r, rlens, left_bw, right_bw, *, go,
         x = jnp.moveaxis(x, (t_axis, t_axis + 1, t_axis + 2), (0, 1, 2))
         return x.reshape((n,) + x.shape[3:])
 
-    eo = from_tiles(eo)          # [N, QL+1, WID]
-    idc = from_tiles(idc)
+    bt = from_tiles(bt)          # [N, QL+1, WID]
     score = from_tiles(score)[:, 0]
-    return {"score": score, "eo": eo, "idc": idc}
+    return {"score": score, "bt": bt}
 
 
 def _anch_banded_kernel(q_ref, r2_ref, qlens_ref, rlens_ref, lbw_ref,
-                        rbw_ref, eo_out, idc_out, score_out,
+                        rbw_ref, bt_out, score_out,
                         pv, pf, pi, score,
                         *, wband, go, ge, rc, ms, max_gap, max_intron):
     """Anchored (gap-fill) DP in band-relative coordinates.
@@ -403,8 +413,10 @@ def _anch_banded_kernel(q_ref, r2_ref, qlens_ref, rlens_ref, lbw_ref,
                      + (1 - is_origin - lv) * DP_WORST)
             pf[o] = full(DP_WORST)
             pi[o] = full(0)
-            eo_out[0, o, 0] = (lv * OP_DELETE).astype(jnp.int8)
-            idc_out[0, o, 0] = lv * j0
+            # Delete boundary of run length j0: continue bit for j0 >= 2.
+            bt_out[0, o, 0] = (lv * (OP_DELETE + BT_CD *
+                                     jnp.clip(j0 - 1, 0, 1))
+                               ).astype(jnp.int8)
             return 0
         jax.lax.fori_loop(0, wband, init_col, 0)
         pv[wband] = full(DP_WORST)   # band-edge sentinel
@@ -431,7 +443,6 @@ def _anch_banded_kernel(q_ref, r2_ref, qlens_ref, rlens_ref, lbw_ref,
             neq = jnp.minimum(jnp.abs(q_char - r_char), 1)
             gscore = v + ms - neq * (ms + rc)
             opcode = full(OP_MATCH) + neq * (OP_REPLACE - OP_MATCH)
-            cell_idc = full(0)
 
             ce = pe_col - ge
             ne = pv_col - (go + ge)
@@ -441,7 +452,6 @@ def _anch_banded_kernel(q_ref, r2_ref, qlens_ref, rlens_ref, lbw_ref,
             take_d = pe_new > gscore   # anchored tie rule: strict >
             v1 = jnp.where(take_d, pe_new, gscore)
             opcode = jnp.where(take_d, full(OP_DELETE), opcode)
-            cell_idc = jnp.where(take_d, pd_new, cell_idc)
 
             cf = pf[o + 1] - ge       # vertical (i-1, j)
             nf = pv[o + 1] - (go + ge)
@@ -451,14 +461,18 @@ def _anch_banded_kernel(q_ref, r2_ref, qlens_ref, rlens_ref, lbw_ref,
             take_f = f > v1           # anchored tie rule: strict >
             v2 = jnp.where(take_f, f, v1)
             opcode = jnp.where(take_f, full(OP_INSERT), opcode)
-            cell_idc = jnp.where(take_f, ii, cell_idc)
 
             pf[o] = jnp.where(active, f, full(DP_WORST))
             pi[o] = jnp.where(active, ii, full(0))
             lb = is_bound.astype(i32)
-            eo_out[0, o, 0] = jnp.where(
-                active, opcode, lb * OP_INSERT).astype(jnp.int8)
-            idc_out[0, o, 0] = jnp.where(active, cell_idc, lb * i)
+            packed = (opcode + BT_CD * jnp.minimum(pd_new - 1, 1)
+                      + BT_CF * jnp.minimum(ii - 1, 1))
+            # Sliding insert boundary of run length i: chain continues at
+            # (i-1, o+1) — the row above's boundary cell in band frame.
+            bt_out[0, o, 0] = jnp.where(
+                active, packed,
+                lb * (OP_INSERT + BT_CF * jnp.minimum(i - 1, 1))
+            ).astype(jnp.int8)
             pv[o] = jnp.where(active, v2,
                               jnp.where(is_bound, edge_val, full(DP_WORST)))
             score[0] = jnp.where(active & (i == qlens) & (j == rlens),
@@ -489,11 +503,11 @@ def anchored_forward_pallas_banded(q, qlens, r, rlens, left_bw, right_bw,
     fills with narrow bands no longer hit the rl<=512 VMEM cap.
 
     wband must be a static int >= max(left_bw + right_bw) + 1 (callers
-    bucket it to limit recompiles).  Returns {"score", "eo_b", "idc_b"}
-    with the backtrack arrays in banded layout [N, QL+1, WBAND]
-    (column o = j - i + lbw); decode with traceback_anchored_banded, or
-    expand with unshift_anchored_banded to get arrays identical to
-    batched_anchored_forward's.
+    bucket it to limit recompiles).  Returns {"score", "bt_b"} with the
+    packed backtrack plane in banded layout [N, QL+1, WBAND] (column
+    o = j - i + lbw); decode with traceback_anchored_banded_packed, or
+    expand with unpack_backtrack + unshift_anchored_banded to get arrays
+    identical to batched_anchored_forward's.
     """
     n, ql_max = q.shape
     rl_max = r.shape[1]
@@ -526,11 +540,9 @@ def anchored_forward_pallas_banded(q, qlens, r, rlens, left_bw, right_bw,
     out_shapes = (
         jax.ShapeDtypeStruct((ql_max + 1, wband, tiles, SUB, LANE),
                              jnp.int8),
-        jax.ShapeDtypeStruct((ql_max + 1, wband, tiles, SUB, LANE),
-                             jnp.int32),
         jax.ShapeDtypeStruct((1, tiles, SUB, LANE), jnp.int32),
     )
-    eo_b, idc_b, score = pl.pallas_call(
+    bt_b, score = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -542,8 +554,6 @@ def anchored_forward_pallas_banded(q, qlens, r, rlens, left_bw, right_bw,
             pl.BlockSpec((1, SUB, LANE), lambda t, g: (t, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, wband, 1, SUB, LANE),
-                         lambda t, g: (g, 0, t, 0, 0)),
             pl.BlockSpec((1, wband, 1, SUB, LANE),
                          lambda t, g: (g, 0, t, 0, 0)),
             pl.BlockSpec((1, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
@@ -563,15 +573,52 @@ def anchored_forward_pallas_banded(q, qlens, r, rlens, left_bw, right_bw,
         x = jnp.moveaxis(x, (t_axis, t_axis + 1, t_axis + 2), (0, 1, 2))
         return x.reshape((n,) + x.shape[3:])
 
-    eo_b = from_tiles(eo_b)        # [N, QL+1, WBAND]
-    idc_b = from_tiles(idc_b)
+    bt_b = from_tiles(bt_b)        # [N, QL+1, WBAND]
     score = from_tiles(score)[:, 0]
     # Banded layout goes straight to the host decoders
-    # (traceback_anchored_banded): the backtrack walk touches O(path)
-    # cells, so materializing [N, QL+1, RL+1] full-matrix arrays (and
-    # shipping them off-device) would cost more than the DP itself for
-    # long gap fills.  unshift_anchored_banded exists for parity tests.
-    return {"score": score, "eo_b": eo_b, "idc_b": idc_b}
+    # (traceback_anchored_banded_packed): the backtrack walk touches
+    # O(path) cells, so materializing [N, QL+1, RL+1] full-matrix arrays
+    # (and shipping them off-device) would cost more than the DP itself
+    # for long gap fills.  unpack_backtrack + unshift_anchored_banded
+    # exist for parity tests.
+    return {"score": score, "bt_b": bt_b}
+
+
+def unpack_backtrack(bt, insert_chain):
+    """Expand a packed backtrack plane to the XLA twins' (eo, idc).
+
+    `bt` is [..., H, W] int8 with op in bits 0-2, BT_CD (delete run
+    continues one cell left in the same row) in bit 3, and BT_CF (insert
+    run continues up the chain) in bit 4.  `insert_chain` is "diag" for
+    the band-relative layouts (extension and banded-anchored: the chain
+    ascends (y-1, x+1)) or "up" for full-coordinate anchored (the chain
+    ascends (y-1, x)).  Run lengths are 1 + the length of the continue-
+    bit chain, which is exactly the forward pass's pd/ii counters, so the
+    reconstructed idc plane is bit-identical to the unpacked twins'.
+    Test/debug helper — production paths walk the packed plane directly.
+    """
+    import numpy as np
+    bt = np.asarray(bt)
+    eo = (bt & BT_OP).astype(np.int8)
+    cd = (bt >> 3) & 1
+    cf = (bt >> 4) & 1
+    h, w = bt.shape[-2:]
+    idx = np.arange(w, dtype=np.int64)
+    # Delete runs along each row: pd[x] = x - (last x' <= x with cd 0) + 1.
+    last0 = np.maximum.accumulate(np.where(cd == 0, idx, -1), axis=-1)
+    pd = idx - last0 + 1
+    # Insert runs up the chain: ii[y] = cf[y] ? ii[y-1 at chain col] + 1 : 1.
+    ii = np.ones(bt.shape, np.int64)
+    for y in range(1, h):
+        if insert_chain == "diag":
+            ii[..., y, :-1] = np.where(cf[..., y, :-1] == 1,
+                                       ii[..., y - 1, 1:] + 1, 1)
+        else:
+            ii[..., y, :] = np.where(cf[..., y, :] == 1,
+                                     ii[..., y - 1, :] + 1, 1)
+    idc = np.where(eo == OP_INSERT, ii,
+                   np.where(eo == OP_DELETE, pd, 0)).astype(np.int32)
+    return eo, idc
 
 
 @functools.partial(jax.jit, static_argnames=("wid",))
@@ -603,8 +650,10 @@ def extension_forward_pallas(q, qlens, r, rlens, *, band_width, go, ge, rc,
     with N a multiple of TILE=1024.
 
     q: [N, QL] uint8, r: [N, RL] with RL >= QL + 2*bw2.
-    Returns score/maxi/maxj [N], eo [N, QL+1, W] int8,
-    idc [N, QL+1, W] int16.
+    Returns score/maxi/maxj [N] and the packed backtrack plane
+    bt [N, QL+1, W] int8 (op | BT_CD | BT_CF); decode with
+    dp_common.traceback_extension_packed / the native packed walker, or
+    expand to the XLA twin's (eo, idc) with unpack_backtrack.
     """
     n, ql_max = q.shape
     assert n % TILE == 0, n
@@ -628,12 +677,11 @@ def extension_forward_pallas(q, qlens, r, rlens, *, band_width, go, ge, rc,
     rl_pad = r_t.shape[0]
     out_shapes = (
         jax.ShapeDtypeStruct((ql_max + 1, w, tiles, SUB, LANE), jnp.int8),
-        jax.ShapeDtypeStruct((ql_max + 1, w, tiles, SUB, LANE), jnp.int16),
         jax.ShapeDtypeStruct((1, tiles, SUB, LANE), jnp.int32),
         jax.ShapeDtypeStruct((1, tiles, SUB, LANE), jnp.int32),
         jax.ShapeDtypeStruct((1, tiles, SUB, LANE), jnp.int32),
     )
-    eo, idc, score, maxi, maxj = pl.pallas_call(
+    bt, score, maxi, maxj = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -643,7 +691,6 @@ def extension_forward_pallas(q, qlens, r, rlens, *, band_width, go, ge, rc,
             pl.BlockSpec((1, SUB, LANE), lambda t, g: (t, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, w, 1, SUB, LANE), lambda t, g: (g, 0, t, 0, 0)),
             pl.BlockSpec((1, w, 1, SUB, LANE), lambda t, g: (g, 0, t, 0, 0)),
             pl.BlockSpec((1, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
             pl.BlockSpec((1, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
@@ -667,10 +714,8 @@ def extension_forward_pallas(q, qlens, r, rlens, *, band_width, go, ge, rc,
         x = jnp.moveaxis(x, (t_axis, t_axis + 1, t_axis + 2), (0, 1, 2))
         return x.reshape((n,) + x.shape[3:])
 
-    eo = from_tiles(eo)          # [N, QL+1, W]
-    idc = from_tiles(idc)
+    bt = from_tiles(bt)          # [N, QL+1, W]
     score = from_tiles(score)[:, 0]
     maxi = from_tiles(maxi)[:, 0]
     maxj = from_tiles(maxj)[:, 0]
-    return {"score": score, "maxi": maxi, "maxj": maxj, "eo": eo,
-            "idc": idc}
+    return {"score": score, "maxi": maxi, "maxj": maxj, "bt": bt}
