@@ -193,10 +193,36 @@ def bench_e2e(reads, read_len, err, label_suffix=""):
     return out
 
 
+def _tpu_reachable(timeout=240):
+    """Probe device enumeration in a child process: a down TPU tunnel
+    blocks jax.devices() indefinitely, which must not hang the bench."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(any(d.platform == 'tpu' "
+             "for d in jax.devices()))"],
+            capture_output=True, timeout=timeout, text=True,
+            env=dict(os.environ, PYTHONPATH=REPO + os.pathsep +
+                     os.environ.get("PYTHONPATH", "")))
+    except subprocess.TimeoutExpired:
+        return False
+    return r.returncode == 0 and "True" in r.stdout
+
+
 def main():
     sys.path.insert(0, REPO)
+    use_tpu = _tpu_reachable()
+    if not use_tpu:
+        # Device link down or CPU-only env: bench the XLA twins on CPU
+        # rather than hanging in backend init.
+        os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     import jax
-    use_tpu = any(d.platform == "tpu" for d in jax.devices())
+    use_tpu = use_tpu and any(d.platform == "tpu" for d in jax.devices())
 
     cps, n, ql = bench_extension(use_tpu)
     extra = {}
