@@ -171,6 +171,44 @@ def test_native_verbose_stats_report(scratch):
     assert "The max number of alignments per query was 1." in err
 
 
+XLA_SWEEP = [
+    ("A_fbs.sam", "readsA_100bp.fasta", ["-FBS", "Y", "-osh"]),
+    ("A_all.sam", "readsA_100bp.fasta", ["-OQC", "N", "-osh"]),
+    ("A_edit.sam", "readsA_100bp.fasta", ["-AGS", "N", "-osh"]),
+    ("E_fastq.sam", "readsE_150bp.fastq", ["-osh"]),
+    ("D_default.sam", "readsD_sv.fasta", ["-osh"]),
+    ("C_params.sam", "readsC_1kb.fasta",
+     ["-BW", "3", "-G", "20", "-M", "15", "-X", "15", "-osh"]),
+]
+
+
+@pytest.mark.parametrize("out_name,reads,args", XLA_SWEEP,
+                         ids=["xla-" + c[0] for c in XLA_SWEEP])
+def test_batch_xla_engine_parity_sweep(scratch, out_name, reads, args):
+    """The device front end + XLA DP twins across modes that exercise
+    distinct post-DP policies (FBS, ALL-mode dups, edit-distance, FASTQ
+    quals, SV splits, custom band/scoring); byte parity modulo @PG."""
+    shutil.copy(os.path.join(DATA, reads), scratch)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    out_path = "xla_" + out_name
+    r = subprocess.run(
+        [sys.executable, "-m", "yaha_tpu.cli", "-x",
+         "testgen.X11_01_65525S", "-q", reads,
+         "--engine", "batch-xla", *args, out_path],
+        cwd=scratch, env=env, capture_output=True, timeout=1200)
+    assert r.returncode == 0, r.stderr.decode()[-1500:]
+    with open(os.path.join(scratch, out_path), "rb") as f:
+        mine = f.read()
+    with open(os.path.join(GOLD, out_name), "rb") as f:
+        golden = f.read()
+    strip = lambda b: b"\n".join(
+        l for l in b.split(b"\n") if not l.startswith(b"@PG"))
+    assert strip(mine) == strip(golden)
+
+
 def test_device_engine_threaded_pipeline_parity(scratch):
     """-t N on the device engines pipelines batches through host threads
     sharing the one device (PP-analog, cli.py tpool); output must be

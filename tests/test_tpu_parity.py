@@ -35,7 +35,7 @@ def _have_tpu():
             [sys.executable, "-c",
              "import jax; print(any(d.platform == 'tpu' "
              "for d in jax.devices()))"],
-            env=_tpu_env(), capture_output=True, timeout=300, text=True)
+            env=_tpu_env(), capture_output=True, timeout=120, text=True)
     except subprocess.TimeoutExpired:
         # A down tunnel blocks device enumeration indefinitely; treat it
         # as "no TPU" so the suite skips instead of erroring.
