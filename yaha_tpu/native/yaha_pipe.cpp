@@ -472,6 +472,24 @@ static int64_t ext_fwd_perfect(Frag& f, const uint8_t* genome,
     int64_t q_off = f.eqo + 1;
     int64_t r_off = f.ero() + 1;
     int64_t count = 0;
+    // Word-compare fast path over the fully-in-bounds prefix (8 codes
+    // per XOR; the scalar tail keeps the negative-index emulation and
+    // bounds-break semantics bit-exact for the degenerate-chop cases).
+    if (q_off >= 0 && r_off >= 0) {
+        int64_t limit = std::min({length, qlen - q_off, glen - r_off});
+        while (count + 8 <= limit) {
+            uint64_t a, b;
+            memcpy(&a, q + q_off + count, 8);
+            memcpy(&b, genome + r_off + count, 8);
+            uint64_t x = a ^ b;
+            if (x) {
+                count += __builtin_ctzll(x) >> 3;
+                if (count > 0) f.add_back(count);
+                return count;
+            }
+            count += 8;
+        }
+    }
     while (count < length) {
         int64_t qi = q_off + count;
         if (qi < 0) qi += qlen;        // Python negative-index emulation
@@ -492,6 +510,24 @@ static int64_t ext_back_perfect(Frag& f, const uint8_t* genome,
     int64_t q_off = f.sqo - 1;
     int64_t r_off = f.sro - 1;
     int64_t count = 0;
+    // Backward word-compare fast path (see ext_fwd_perfect); the
+    // highest differing byte of the XOR is the first mismatch walking
+    // down from (q_off, r_off).
+    if (q_off < qlen && r_off < glen) {
+        int64_t limit = std::min({length, q_off + 1, r_off + 1});
+        while (count + 8 <= limit) {
+            uint64_t a, b;
+            memcpy(&a, q + q_off - count - 7, 8);
+            memcpy(&b, genome + r_off - count - 7, 8);
+            uint64_t x = a ^ b;
+            if (x) {
+                count += __builtin_clzll(x) >> 3;
+                if (count > 0) f.add_front(count);
+                return count;
+            }
+            count += 8;
+        }
+    }
     while (count < length) {
         int64_t qi = q_off - count;
         if (qi < 0) qi += qlen;
