@@ -909,7 +909,7 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
         import jax
         import numpy as np_
         from jax.sharding import Mesh, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from .parallel import distributed as dist
         nd = len(jax.devices())
         mesh = Mesh(np_.array(jax.devices()).reshape(nd), ("data",))

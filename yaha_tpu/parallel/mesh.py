@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def make_mesh(n_devices: int | None = None, model_parallel: int = 1):
@@ -102,7 +102,7 @@ def data_parallel_extension_step(mesh: Mesh, ext_fn):
         kernel, mesh=mesh,
         in_specs=(P("data", None), P("data"), P("data", None), P("data")),
         out_specs=(P("data"), P("data"), P("data"), P()),
-        check_rep=False)
+        check_vma=False)
 
 
 class ShardedIndex:
@@ -235,7 +235,7 @@ def sharded_expand_sort(mesh: Mesh, hashes, clean, sidx: ShardedIndex, *,
                   P("model"), P("model", None)),
         out_specs=(P("data", None), P("data", None), P("data"),
                    P("data"), P("data")),
-        check_rep=False,
+        check_vma=False,
     )(hashes, clean, sidx.so_dev, sidx.lo_dev, sidx.roa_dev)
     return {"diag": diag, "qo": qo, "total": total, "overflow": overflow,
             "allwrapped": allwrapped}
