@@ -38,6 +38,7 @@ yaha_tpu extensions:
   --engine oracle|native|batch|batch-numpy|batch-xla|batch-pallas
   --batch-size N          reads per batch
   --max-query-length N    lift the 32 kb read cap
+  --max-region-frags N    skip repeat regions with > N fragments (0=off)
   --resume                continue from the output cursor
   --trace DIR             jax.profiler device trace (jax engines)"""
 
@@ -246,6 +247,13 @@ def main(argv=None):
             # through the same phased DP as everything else.
             i += 1
             aa.max_query_length = _parse_int(argv[i], "--max-query-length")
+        elif a == "--max-region-frags":
+            # Production safety valve: cap the per-region fragment count
+            # fed to the O(n^2) chain DP; oversized regions are skipped
+            # with a stderr warning.  Off (0) by default — parity with
+            # the reference, which grinds or segfaults on such reads.
+            i += 1
+            aa.max_region_frags = _parse_int(argv[i], "--max-region-frags")
         elif a == "--coordinator":
             # Multi-host run (jax.distributed): every host runs the same
             # command with its own --host-id; host 0's address is the

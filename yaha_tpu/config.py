@@ -61,6 +61,11 @@ class AlignmentArgs:
     fbs_ps_score: float = 0.8999999761581421
 
     max_query_length: int = 32000
+    # Safety valve (--max-region-frags, 0 = off): skip fragment regions
+    # with more than N fragments instead of running the O(n^2) chain DP
+    # over pathological tandem-repeat reads (the reference segfaults on
+    # such inputs; parity configs leave this off).
+    max_region_frags: int = 0
     verbose: bool = False
     output_blast8: bool = False
     output_sam: bool = True

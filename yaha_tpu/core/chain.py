@@ -410,6 +410,16 @@ def _materialize_clumps(qs, offs, o_sqo, o_eqo, o_sro, matched) -> None:
         qs.add_clump(clump)
 
 
+def _warn_skipped_regions(aa, host) -> None:
+    if getattr(aa, "max_region_frags", 0) <= 0:
+        return
+    n = host.take_skipped_regions()
+    if n:
+        import sys
+        print("Warning: skipped %d fragment region(s) with more than %d "
+              "fragments." % (n, aa.max_region_frags), file=sys.stderr)
+
+
 def process_strand(aa, qs, index, codes) -> int:
     """One strand of processQueries (Query.c:361-412 + QueryMatch.c):
     seed scan -> fragments -> clumps.  Returns the seed-hit total (the
@@ -419,6 +429,7 @@ def process_strand(aa, qs, index, codes) -> int:
         res = host.seed_to_clumps(codes, index, aa)
         if res is not None:
             offs, o_sqo, o_eqo, o_sro, matched, total = res
+            _warn_skipped_regions(aa, host)
             _materialize_clumps(qs, offs, o_sqo, o_eqo, o_sro, matched)
             return total
     from .frags import seed_hits, find_fragments
@@ -447,6 +458,7 @@ def process_fragments_gapped(aa, qs, frags) -> None:
             np.array([f.sro for f in frags], np.int64),
             qs.query_len, aa)
         if res is not None:
+            _warn_skipped_regions(aa, host)
             _materialize_clumps(qs, *res)
             return
     used = [False] * frag_count
@@ -464,6 +476,17 @@ def process_fragments_gapped(aa, qs, frags) -> None:
             cur_diag = d
             end = i
         num = 1 + end - start
+        mrf = getattr(aa, "max_region_frags", 0)
+        if mrf > 0 and num > mrf:
+            # Safety valve (--max-region-frags): the chain DP is O(n^2)
+            # per region; pathological tandem-repeat reads are skipped
+            # with a warning instead of grinding for minutes (the
+            # reference segfaults on such inputs).
+            import sys
+            print("Warning: skipped a fragment region with %d fragments "
+                  "(> %d)." % (num, mrf), file=sys.stderr)
+            next_frag = end + 1
+            continue
         if num == 1:
             frag = frags[start]
             if frag.match_count >= aa.min_match:

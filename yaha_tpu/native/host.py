@@ -213,14 +213,15 @@ def parse_queries_native(data: bytes, fastq: bool, max_query_len: int,
 
 
 def _pack_params_ct(aa, n_threads):
-    ip = (ctypes.c_int64 * 26)(
+    ip = (ctypes.c_int64 * 27)(
         aa.word_len, aa.max_hits, aa.max_gap, aa.max_intron, aa.min_match,
         aa.max_desert, aa.min_raw_score, aa.min_non_overlap,
         aa.oqc_min_non_overlap, aa.band_width, aa.m_score, aa.r_cost,
         aa.go_cost, aa.ge_cost, aa.x_cutoff, aa.min_ext_length, aa.bp_cost,
         aa.max_bp_log, int(aa.oqc), int(aa.fbs), int(aa.output_sam),
         int(aa.output_blast8), int(aa.hard_clip), int(aa.fastq),
-        int(n_threads), int(aa.max_query_length))
+        int(n_threads), int(aa.max_query_length),
+        int(getattr(aa, "max_region_frags", 0)))
     fp = (ctypes.c_double * 3)(aa.min_identity, aa.fbs_ps_length,
                                aa.fbs_ps_score)
     return ip, fp
@@ -724,6 +725,29 @@ def traceback_extension_packed_batch(bt, maxi, maxj, score, reverse):
     return [_tb_items(ops_b, lens, offs[k], offs[k + 1]) for k in range(n)]
 
 
+def _set_region_cap(lib, aa):
+    """Propagate --max-region-frags (0 = off) to the C region loop's
+    thread-local cap; oversized regions are then skipped and counted
+    (drained by take_skipped_regions)."""
+    import ctypes as ct
+    if not hasattr(lib, "_mrf_sig"):
+        lib.yt_set_max_region_frags.argtypes = [ct.c_int64]
+        lib.yt_set_max_region_frags.restype = None
+        lib.yt_take_skipped_regions.argtypes = []
+        lib.yt_take_skipped_regions.restype = ct.c_int64
+        lib._mrf_sig = True
+    lib.yt_set_max_region_frags(int(getattr(aa, "max_region_frags", 0)))
+
+
+def take_skipped_regions():
+    """Number of regions skipped by the --max-region-frags valve since
+    the last call (this thread)."""
+    lib = _load()
+    if not hasattr(lib, "_mrf_sig"):
+        return 0
+    return int(lib.yt_take_skipped_regions())
+
+
 def frags_to_clumps(sqo, eqo, sro, query_len, aa):
     """C-speed fragment->clump stage (processFragmentsGapped,
     QueryMatch.c:224-303 + GraphPath.cpp:272-292 + AlignHelpers.c:48-193)
@@ -754,6 +778,7 @@ def frags_to_clumps(sqo, eqo, sro, query_len, aa):
     def p(a):
         return a.ctypes.data_as(ct.POINTER(ct.c_int64))
 
+    _set_region_cap(lib, aa)
     nc = lib.yt_frags_to_clumps(
         p(sqo), p(eqo), p(sro), n, query_len,
         aa.max_gap, aa.max_desert, aa.min_match, aa.min_non_overlap,
@@ -811,6 +836,7 @@ def seed_to_clumps(codes, index, aa, *, cap_frags=65536, cap_clumps=8192):
     def p64(a):
         return a.ctypes.data_as(ct.POINTER(ct.c_int64))
 
+    _set_region_cap(lib, aa)
     while True:
         nc = lib.yt_seed_to_clumps(
             codes.ctypes.data_as(ct.POINTER(ct.c_uint8)), len(codes),

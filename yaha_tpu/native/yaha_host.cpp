@@ -36,6 +36,21 @@ void yt_free(void* p) { free(p); }
 // AlignArgs.c:82); --max-query-length beyond that would otherwise wrap
 // any full-length match score negative and break OQC selection.
 thread_local int64_t yt_wide_scores = 0;
+
+// Production safety valve (--max-region-frags, default 0 = off): the
+// chain DP is O(n^2) over a region's fragments, and a pathological
+// tandem-repeat read under permissive configs can put ~10^5 fragments
+// in one region (minutes per read; the reference segfaults on such
+// inputs).  When the cap is set, oversized regions are skipped and
+// counted so the driver can warn; default keeps byte parity.
+thread_local int64_t yt_max_region_frags = 0;
+thread_local int64_t yt_skipped_regions = 0;
+void yt_set_max_region_frags(int64_t v) { yt_max_region_frags = v; }
+int64_t yt_take_skipped_regions() {
+    int64_t v = yt_skipped_regions;
+    yt_skipped_regions = 0;
+    return v;
+}
 static inline int64_t yt_wrap_i16(int64_t x) {
     return yt_wide_scores ? x : (((x + 0x8000) & 0xFFFF) - 0x8000);
 }
@@ -591,6 +606,11 @@ int64_t yt_frags_to_clumps(
             end = i;
         }
         int64_t num = 1 + end - start;
+        if (yt_max_region_frags > 0 && num > yt_max_region_frags) {
+            yt_skipped_regions++;
+            next_frag = end + 1;
+            continue;
+        }
         if (num == 1) {
             CFrag& f = frags[start];
             if (f_len(f) >= min_match) {

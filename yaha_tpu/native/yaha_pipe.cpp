@@ -57,6 +57,8 @@ int yt_anchored_forward(const uint8_t* q, const int32_t* qlens,
                         int max_gap, int max_intron,
                         int8_t* eo, int32_t* idc, int32_t* score);
 extern thread_local int64_t yt_wide_scores;
+extern thread_local int64_t yt_max_region_frags;
+extern thread_local int64_t yt_skipped_regions;
 }
 
 namespace yp {
@@ -88,7 +90,7 @@ struct Params {
     int64_t word_len, max_hits, max_gap, max_intron, min_match, max_desert,
         min_raw_score, min_non_overlap, oqc_min_non_overlap, band_width,
         m_score, r_cost, go_cost, ge_cost, x_cutoff, min_ext_length,
-        bp_cost, max_bp_log, max_query_length;
+        bp_cost, max_bp_log, max_query_length, max_region_frags;
     bool oqc, fbs, output_sam, output_blast8, hard_clip, fastq;
     double min_identity, fbs_ps_length, fbs_ps_score;
 };
@@ -99,7 +101,8 @@ enum IP {
     IP_OQC_MIN_NON_OVERLAP, IP_BAND_WIDTH, IP_M_SCORE, IP_R_COST,
     IP_GO_COST, IP_GE_COST, IP_X_CUTOFF, IP_MIN_EXT_LENGTH, IP_BP_COST,
     IP_MAX_BP_LOG, IP_OQC, IP_FBS, IP_OUTPUT_SAM, IP_OUTPUT_BLAST8,
-    IP_HARD_CLIP, IP_FASTQ, IP_N_THREADS, IP_MAX_QUERY_LEN, IP_COUNT
+    IP_HARD_CLIP, IP_FASTQ, IP_N_THREADS, IP_MAX_QUERY_LEN,
+    IP_MAX_REGION_FRAGS, IP_COUNT
 };
 
 // ---- int wrap helpers (core/cints.py) ----
@@ -2139,8 +2142,14 @@ static std::pair<int64_t, int64_t> align_read(State& st, std::string& out,
     st.primary_count = 0;
     double t0 = prof ? now_s() : 0;
 
+    yt_skipped_regions = 0;
     int64_t fwd_count = process_strand(st, false);
     int64_t rev_count = process_strand(st, true);
+    if (yt_skipped_regions > 0)
+        fprintf(stderr, "Warning: skipped %lld fragment region(s) with "
+                "more than %lld fragments in query %s.\n",
+                (long long)yt_skipped_regions,
+                (long long)yt_max_region_frags, st.query_id.c_str());
     int64_t seed_matches = fwd_count + rev_count;
     double t1 = prof ? now_s() : 0;
 
@@ -2252,6 +2261,7 @@ int yt_align_batch(
     aa.fbs_ps_score = fparams[2];
     int64_t n_threads = iparams[IP_N_THREADS];
     aa.max_query_length = iparams[IP_MAX_QUERY_LEN];
+    aa.max_region_frags = iparams[IP_MAX_REGION_FRAGS];
     if (n_threads < 1) n_threads = 1;
     int64_t hw = (int64_t)std::thread::hardware_concurrency();
     if (hw > 0 && n_threads > hw) n_threads = hw;
@@ -2288,6 +2298,7 @@ int yt_align_batch(
         RunStats* rs = dist_out
             ? &rstats[(size_t)rs_slot.fetch_add(1)] : nullptr;
         yt_wide_scores = aa.max_query_length > 32000 ? 1 : 0;
+        yt_max_region_frags = aa.max_region_frags;
         State st;
         st.aa = &aa;
         st.genome = &genome;
