@@ -26,10 +26,31 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), "libyaha_host.so")
 _lib = None
 
 
+def _build_lib_once():
+    """First-use auto-build of libyaha_host.so (tools/build_native.sh):
+    a source checkout gets the native fast path without a manual build
+    step.  Failures (no g++, read-only tree) degrade silently to the
+    Python implementations."""
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))),
+        "tools", "build_native.sh")
+    if not os.path.exists(script):
+        return
+    try:
+        import subprocess
+        import sys
+        print("building native library (one-time)...", file=sys.stderr)
+        subprocess.run(["bash", script], capture_output=True, timeout=600)
+    except Exception:
+        pass
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
+    if not os.path.exists(_LIB_PATH):
+        _build_lib_once()
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
