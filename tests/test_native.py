@@ -21,6 +21,17 @@ def test_native_compress_matches_golden():
     assert host.compress_fasta(data) == gold
 
 
+def test_native_compress_file_matches_golden(tmp_path):
+    """File-to-file compress (the CLI -c fast path) is byte-identical to
+    the in-memory codec."""
+    out = os.path.join(tmp_path, "out.nib2")
+    host.compress_fasta_file(os.path.join(DATA, "testgen.fasta"), out)
+    with open(os.path.join(GOLD, "testgen.nib2"), "rb") as f:
+        gold = f.read()
+    with open(out, "rb") as f:
+        assert f.read() == gold
+
+
 def test_native_unpack():
     from yaha_tpu.utils import codec
     rng = np.random.default_rng(0)

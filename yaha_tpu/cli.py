@@ -347,6 +347,11 @@ def main(argv=None):
 
 
 def _do_compress(aa):
+    from .native import host
+    if host.available():
+        # mmap-in/write-out native path: no whole-genome byte copies.
+        host.compress_fasta_file(aa.gfile_name, aa.ofile_name)
+        return
     from .io import nib2
     with open(aa.gfile_name, "rb") as f:
         data = f.read()

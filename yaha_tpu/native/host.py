@@ -58,6 +58,8 @@ def _load():
     c_i64p = ctypes.POINTER(ctypes.c_int64)
     lib.yt_compress_fasta.argtypes = [
         c_u8p, ctypes.c_int64, ctypes.POINTER(c_u8p), c_i64p]
+    lib.yt_compress_fasta_file.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p]
     lib.yt_unpack_nib2.argtypes = [c_u8p, ctypes.c_int64, c_u8p]
     lib.yt_parse_queries.argtypes = [
         c_u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
@@ -94,6 +96,15 @@ def compress_fasta(data: bytes) -> bytes:
         return ctypes.string_at(out, out_n.value)
     finally:
         lib.yt_free(out)
+
+
+def compress_fasta_file(in_path: str, out_path: str) -> None:
+    """File-to-file FASTA -> nib2 (mmap in, one write out): skips the
+    Python-side whole-genome byte copies of compress_fasta."""
+    lib = _load()
+    rc = lib.yt_compress_fasta_file(
+        os.fsencode(in_path), os.fsencode(out_path))
+    assert rc == 0, "yt_compress_fasta_file failed on %s" % in_path
 
 
 def unpack_nib2(packed: np.ndarray) -> np.ndarray:

@@ -18,6 +18,10 @@
 #include <vector>
 #include <algorithm>
 #include <mutex>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
 #if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__)
 #include <immintrin.h>
@@ -86,6 +90,7 @@ int yt_compress_fasta(const uint8_t* in, int64_t n, uint8_t** out,
     std::vector<std::string> names;
     std::vector<int64_t> seq_starts, seq_lengths;
     std::vector<uint8_t> bases;  // packed
+    bases.reserve((size_t)(n / 2 + 16));
     int64_t i = 0;
     int64_t base_count = 0;
     bool in_seq = false;
@@ -152,6 +157,33 @@ int yt_compress_fasta(const uint8_t* in, int64_t n, uint8_t** out,
     *out = buf;
     *out_n = total;
     return 0;
+}
+
+// File-to-file FASTA -> nib2: mmap the input and write the result once.
+// The in-memory API above forces ~3 genome-size byte copies through the
+// Python layer at hg scale; this path has exactly one output buffer.
+int yt_compress_fasta_file(const char* in_path, const char* out_path) {
+    int fd = open(in_path, O_RDONLY);
+    if (fd < 0) return -1;
+    struct stat st;
+    if (fstat(fd, &st) != 0) { close(fd); return -1; }
+    int64_t n = st.st_size;
+    void* m = mmap(nullptr, n ? (size_t)n : 1, PROT_READ, MAP_PRIVATE,
+                   fd, 0);
+    close(fd);
+    if (m == MAP_FAILED) return -1;
+    madvise(m, (size_t)n, MADV_SEQUENTIAL);
+    uint8_t* buf = nullptr;
+    int64_t total = 0;
+    int rc = yt_compress_fasta((const uint8_t*)m, n, &buf, &total);
+    munmap(m, n ? (size_t)n : 1);
+    if (rc != 0) return rc;
+    FILE* f = fopen(out_path, "wb");
+    if (!f) { free(buf); return -1; }
+    size_t w = fwrite(buf, 1, (size_t)total, f);
+    free(buf);
+    int cl = fclose(f);
+    return (cl == 0 && (int64_t)w == total) ? 0 : -1;
 }
 
 // nib2 packed bytes -> one 4-bit code per output byte.
