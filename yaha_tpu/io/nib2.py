@@ -143,12 +143,18 @@ def load(data: bytes) -> Genome:
 def uncompress_to_fasta(genome: Genome) -> bytes:
     """nib2 -> FASTA bytes. Port of uncompressFile (Compress.c:337-402):
     50-char lines, names as stored."""
-    out = bytearray()
+    parts = []
     for i in range(genome.n_seqs):
-        out += b">" + genome.names[i].encode("latin-1") + b"\n"
+        parts.append(b">" + genome.names[i].encode("latin-1") + b"\n")
         start = int(genome.starting_offsets[i])
         length = int(genome.lengths[i])
         chars = codec.unmap4to8(genome.codes[start:start + length])
-        for j in range(0, length, 50):
-            out += chars[j:j + 50].tobytes() + b"\n"
-    return bytes(out)
+        full = (length // 50) * 50
+        if full:
+            block = np.empty((full // 50, 51), np.uint8)
+            block[:, :50] = chars[:full].reshape(-1, 50)
+            block[:, 50] = ord("\n")
+            parts.append(block.tobytes())
+        if length > full:
+            parts.append(chars[full:].tobytes() + b"\n")
+    return b"".join(parts)
