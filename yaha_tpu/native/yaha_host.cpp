@@ -1661,7 +1661,12 @@ static void ext_wavefront_one(
     }
     int32_t* rowm = rowm_v.data();
     int32_t* rowj = rowj_v.data();
-    for (int64_t i = 0; i <= qlen + 1; i++) rowm[i] = WORST;
+    // rowm is initialized incrementally: rows activate one at a time as
+    // the anti-diagonal advances (ihi is non-decreasing in s), so the
+    // sentinel step below seeds rowm[ihi+1] before that row's first
+    // store, and only the first few rows need seeding here.  An O(qlen)
+    // init would dominate short X-drop-exited extensions on long reads.
+    for (int64_t i = 0; i <= qlen + 1 && i <= 16; i++) rowm[i] = WORST;
     // Prime: v1/e1/f1 hold anti-diagonal bw2+1, v2 holds bw2.
     //   (0, bw2):   V = 0                        [origin]
     //   (0, bw2+1): V = -(go+ge), F = WORST      [row-0 delete boundary]
@@ -1803,6 +1808,10 @@ static void ext_wavefront_one(
             v0[i_n] = (i_n <= bw2) ? -(go + (int32_t)i_n * ge) : WORST;
             e0[i_n] = WORST;
             pd0[i_n] = 0;
+            // Seed the entering row's rolling max (plus one ahead: ihi
+            // grows by at most 1 per anti-diagonal, so row i_n+1 is
+            // seeded before it can receive its first store).
+            if (i_n > 15) rowm[i_n + 1] = WORST;
         }
         // Finalize completed rows in order (the scalar row loop order).
         while (next_row <= qlen) {

@@ -680,7 +680,13 @@ static int64_t ext_dp(State& st, const uint8_t* q, int64_t qlen,
     size_t need = (size_t)((qlen + 1) * w);
     if (st.dp_eo.size() < need) st.dp_eo.resize(need);
     if (st.dp_idc.size() < need) st.dp_idc.resize(need);
-    memset(st.dp_eo.data(), 0, need);
+    // No full-plane zeroing here (unlike the batch API, whose A/B plane
+    // compares need it): every cell the backtrack can reach is written
+    // by this call — rows <= the X-drop exit row are fully computed,
+    // row 0 and the leading OP_I column are primed by the wrapper, and
+    // partially-computed rows past the exit are re-zeroed in-kernel.
+    // An extension walks a ~(exit row x band) region of a plane sized
+    // for qlen, so the memset dominated short-extension calls.
     int32_t ql32 = (int32_t)qlen, rl32 = (int32_t)rlen;
     int32_t score = 0, maxi = 0, maxj = 0;
     double ts = g_prof ? now_s() : 0;
