@@ -1696,6 +1696,10 @@ static void ext_wavefront_one(
     const __m512i vrev = _mm512_setr_epi32(15, 14, 13, 12, 11, 10, 9, 8,
                                            7, 6, 5, 4, 3, 2, 1, 0);
 
+    const __m512i vstep = _mm512_mullo_epi32(
+        _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,
+                          14, 15),
+        _mm512_set1_epi32(w - 2));
     int32_t gmax = WORST, gmaxi = 0, gmaxj = 0;
     int64_t next_row = 1;
     bool exited = false;
@@ -1703,7 +1707,7 @@ static void ext_wavefront_one(
         std::min<int64_t>(2LL * qlen + (w - 1), (int64_t)qlen + bw2 + rlen);
     int64_t s = bw2 + 2;
     int64_t max_touched_row = 0;
-    alignas(64) int32_t tmp_op[16], tmp_id[16];
+    alignas(64) int32_t tmp_op[16];
     for (; s <= s_last; s++) {
         // Active rows on this anti-diagonal.
         int64_t ilo = 1;
@@ -1778,14 +1782,17 @@ static void ext_wavefront_one(
             _mm512_mask_storeu_epi32(rowj + ilo, mb, vj);
             // eo/idc scatter: lane l -> [(ilo+l)*w + (j0-2l)], stride w-2.
             _mm512_store_si512(tmp_op, opv);
-            _mm512_store_si512(tmp_id, idv);
             int8_t* e_sc = eop + ilo * w + (s - 2 * ilo);
-            int32_t* i_sc = idp + ilo * w + (s - 2 * ilo);
-            for (int l = 0; l < nact; l++) {
+            for (int l = 0; l < nact; l++)
                 e_sc[(int64_t)l * (w - 2)] = (int8_t)tmp_op[l];
-                if (tmp_op[l] >= OP_I)
-                    i_sc[(int64_t)l * (w - 2)] = tmp_id[l];
-            }
+            // idc is written only for D/I cells (the zeroed-plane batch
+            // API contract): one masked scatter replaces a branchy
+            // per-lane loop.  Lane l's cell is idp[base + l*(w-2)].
+            __m512i vidx = _mm512_add_epi32(
+                _mm512_set1_epi32((int32_t)(ilo * w + (s - 2 * ilo))),
+                vstep);
+            _mm512_mask_i32scatter_epi32(
+                idp, _mm512_kand(amask, _mm512_kor(td, ti)), vidx, idv, 4);
         }
         // Sentinels for the next two anti-diagonals.
         //  - below the window (lane ilo-1 = virtual cell right of the
