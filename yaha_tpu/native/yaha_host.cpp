@@ -1628,8 +1628,19 @@ enum { OP_U = 0, OP_M = 1, OP_R = 2, OP_I = 3, OP_D = 4 };
 // with s, preserving scan order), and rows are finalized in increasing i
 // as they complete (s_end(i) is strictly increasing in i), applying the
 // same `row_max < max - x_cutoff` exit.  On exit, partially-computed
-// rows beyond the exit row are re-zeroed so the eo/idc arrays are
-// byte-identical to the scalar fill (callers pass zeroed arrays).
+// rows beyond the exit row are re-zeroed.
+//
+// eo/idc plane contract (per caller):
+//  * batch API (yt_extension_forward from host.py): planes arrive
+//    zeroed and byte-compare against the scalar fill in A/B tests, so
+//    every deviation from zero must match the scalar writer — idc is
+//    stored only for D/I cells, and the exit re-zero below erases rows
+//    the scalar loop never reached.
+//  * pipe ext_dp (yaha_pipe.cpp): the plane is DIRTY (reused across
+//    calls, no memset).  Correctness there rests on the backtrack
+//    visiting only cells written by THIS call: rows <= the exit row are
+//    fully stored, row 0 / the leading OP_I column are primed by the
+//    wrapper, and the exit re-zero covers partially-computed rows.
 static void ext_wavefront_one(
         const uint8_t* qp, const uint8_t* rp, int32_t qlen, int32_t rlen,
         int bw2, int w, int go, int ge, int rc, int ms,
@@ -1815,9 +1826,16 @@ static void ext_wavefront_one(
             v0[i_n] = (i_n <= bw2) ? -(go + (int32_t)i_n * ge) : WORST;
             e0[i_n] = WORST;
             pd0[i_n] = 0;
-            // Seed the entering row's rolling max (plus one ahead: ihi
-            // grows by at most 1 per anti-diagonal, so row i_n+1 is
-            // seeded before it can receive its first store).
+            // Seed the entering row's rolling max (plus one ahead).
+            // Why one-ahead seeding suffices: ihi = min(qlen, s>>1,
+            // s-bw2-1) — every term grows by at most 1 per anti-diagonal,
+            // so ihi advances by <= 1 and row i_n+1 is always seeded on
+            // the step before it can receive its first store.  The
+            // active window can also never close and later reopen
+            // (ilo and ihi are both monotone in s), so a seeded rowm is
+            // never stale.  The finalize loop below exits at the first
+            // never-active row, whose rowm was seeded by this one-ahead
+            // write.
             if (i_n > 15) rowm[i_n + 1] = WORST;
         }
         // Finalize completed rows in order (the scalar row loop order).
@@ -1846,7 +1864,10 @@ static void ext_wavefront_one(
     if (exited) {
         // Re-zero rows the scalar loop never reached (it breaks after
         // row next_row): their partially-filled wavefront cells must not
-        // survive (callers pass zeroed eo/idc; tests compare them).
+        // survive.  This keeps the batch API's zeroed planes
+        // byte-comparable to the scalar fill AND upholds the pipe
+        // caller's dirty-plane contract (see the header comment): after
+        // this, every non-re-zeroed cell was written by this call.
         for (int64_t i = next_row + 1; i <= max_touched_row; i++) {
             int64_t sc = bw2 + 1 - i; if (sc < 0) sc = 0;
             int64_t ec = bw2 + rlen - i;
@@ -1882,7 +1903,12 @@ int yt_extension_forward(const uint8_t* q, const int32_t* qlens,
         const char* e = getenv("YT_NO_WAVE");
         return e && *e && *e != '0';
     }();
-    const bool use_wave = (w <= 31) && !no_wave;
+    // The idc scatter computes lane indices in int32
+    // (base = ilo*w + s - 2*ilo), so the backtrack plane must stay
+    // int32-addressable: (qlmax+1)*w < 2^31 (~69 Mbp rows at w=31 —
+    // far beyond any read, but guard rather than silently truncate).
+    const bool use_wave = (w <= 31) && !no_wave &&
+        ((qlmax + 1) * (int64_t)w < (1ll << 31));
 #else
     const bool use_wave = false;
 #endif
