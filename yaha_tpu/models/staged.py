@@ -1,0 +1,377 @@
+"""Staged batch engine: native host phases + batched device DP.
+
+The product TPU path.  All per-read host work — FASTA parse, seed scan,
+fragment chaining, clump assembly, perfect extensions, score/split,
+OQC/FBS, SAM serialization — runs in the native C++ staged pipeline
+(yaha_pipe.cpp yt_batch_*), the counterpart of the reference's
+processQueries loop (Query.c:255-497).  Only the two DP phases cross the
+host/device boundary, as dense batched problems:
+
+  phase A  anchored gap-fill DPs   (AlignExtFrag.cpp:164-234's DP arm)
+  phase B  banded X-drop extensions (SW.cpp:479-533)
+
+Problems within a phase are independent in the reference (their inputs
+are fixed before any DP runs), and every DP backend is bit-identical, so
+the engine is byte-parity with the per-read pipeline regardless of how
+problems are bucketed or which backend serves each bucket.
+
+Small problems (<= 24 rows) run inline on the native small-DP fast paths
+during the host phases by default — shipping them to the device costs
+more in launch latency than the DP itself; set YT_STAGED_INLINE=0 to
+force every problem through the device backend (test coverage).
+"""
+from __future__ import annotations
+
+import ctypes as ct
+import os
+
+import numpy as np
+
+from ..native import host
+
+_u8p = ct.POINTER(ct.c_uint8)
+_i32p = ct.POINTER(ct.c_int32)
+_i64p = ct.POINTER(ct.c_int64)
+_u32p = ct.POINTER(ct.c_uint32)
+
+FMT_NATIVE, FMT_EOIDC, FMT_PACKED, FMT_PACKED_BAND = 0, 1, 2, 3
+
+
+def _sig(lib):
+    if getattr(lib, "_staged_sig_done", False):
+        return
+    lib.yt_batch_begin.restype = ct.c_void_p
+    lib.yt_batch_begin.argtypes = [
+        _u8p, _i64p, _u8p, _i64p, _u8p, ct.c_int64,
+        _u8p, ct.c_int64, ct.c_int64, _i64p, _i64p, ct.c_int64,
+        _u8p, _i64p, _u32p, _u32p, ct.c_int64,
+        _i64p, ct.POINTER(ct.c_double), ct.c_int64]
+    lib.yt_batch_gap_count.restype = ct.c_int64
+    lib.yt_batch_gap_count.argtypes = [ct.c_void_p]
+    lib.yt_batch_gap_meta.argtypes = [ct.c_void_p, _i32p, _i32p, _i32p,
+                                      _i32p]
+    lib.yt_batch_gap_fetch.argtypes = [ct.c_void_p, ct.c_int64, _i64p,
+                                       _u8p, ct.c_int64, _u8p, ct.c_int64]
+    lib.yt_batch_gap_apply.argtypes = [
+        ct.c_void_p, ct.c_int64, ct.c_int64, _i64p, ct.c_void_p, _i32p,
+        ct.c_int64, ct.c_int64, _i32p]
+    lib.yt_batch_phase2.argtypes = [ct.c_void_p]
+    lib.yt_batch_ext_count.restype = ct.c_int64
+    lib.yt_batch_ext_count.argtypes = [ct.c_void_p]
+    lib.yt_batch_ext_meta.argtypes = [ct.c_void_p, _i32p, _i32p, _u8p]
+    lib.yt_batch_ext_fetch.argtypes = [ct.c_void_p, ct.c_int64, _i64p,
+                                       _u8p, ct.c_int64, _u8p, ct.c_int64]
+    lib.yt_batch_ext_apply.argtypes = [
+        ct.c_void_p, ct.c_int64, ct.c_int64, _i64p, ct.c_void_p, _i32p,
+        ct.c_int64, ct.c_int64, _i32p, _i32p, _i32p]
+    lib.yt_batch_finish.argtypes = [
+        ct.c_void_p, ct.POINTER(ct.c_void_p), _i64p, _i64p, _i64p]
+    lib.yt_batch_free.argtypes = [ct.c_void_p]
+    lib._staged_sig_done = True
+
+
+def _pow2(x, lo=32):
+    return max(lo, 1 << (int(x) - 1).bit_length())
+
+
+def _pow2_arr(x, lo=32):
+    """Per-element next power of two, floored at `lo` (bucket widths)."""
+    x = np.maximum(np.asarray(x, np.int64), 2)
+    e = np.ceil(np.log2(x.astype(np.float64))).astype(np.int64)
+    return np.maximum(np.int64(lo), np.int64(1) << e)
+
+
+def _p32(a):
+    return a.ctypes.data_as(_i32p)
+
+
+def _p64(a):
+    return a.ctypes.data_as(_i64p)
+
+
+def _pu8(a):
+    return a.ctypes.data_as(_u8p)
+
+
+class StagedAligner:
+    """Batch aligner over ParsedReads with device DP phases.
+
+    backend: 'pallas' (TPU kernels), 'xla' (jit twins — run on whatever
+    device jax selected), or 'native' (host C++ DP; the staging harness
+    with zero device involvement, used for A/B validation).
+    """
+
+    def __init__(self, aa, genome, index, backend="pallas", n_threads=1,
+                 inline_small=None):
+        self.aa = aa
+        self.genome = genome
+        self.index = index
+        self.backend = backend
+        self.n_threads = max(1, int(n_threads))
+        if inline_small is None:
+            inline_small = os.environ.get("YT_STAGED_INLINE", "1") != "0"
+        self.inline_small = inline_small
+        self.lib = host._load()
+        _sig(self.lib)
+        # Launch/byte accounting for the e2e cost decomposition
+        # (BASELINE.md): device launches and h2d/d2h problem bytes.
+        self.stats = {"dp_launches": 0, "h2d_bytes": 0, "d2h_bytes": 0,
+                      "gap_problems": 0, "ext_problems": 0,
+                      "gap_cells": 0, "ext_cells": 0, "device_s": 0.0}
+
+    # ---- DP backends ----
+
+    def _run_gap_bucket(self, qa, qlens, ra, rlens, lbws, rbws):
+        """Returns (format, plane, idc, plane_stride, row_stride, score);
+        arrays stay alive via the returned tuple."""
+        import time
+        aa = self.aa
+        kw = dict(go=aa.go_cost, ge=aa.ge_cost, rc=aa.r_cost,
+                  ms=aa.m_score, max_gap=aa.max_gap,
+                  max_intron=aa.max_intron)
+        n, qg = qa.shape
+        rg = ra.shape[1]
+        wband_need = int((lbws + rbws).max()) + 1
+        wband = _pow2(wband_need)
+        self.stats["dp_launches"] += 1
+        self.stats["h2d_bytes"] += qa.nbytes + ra.nbytes
+        t0 = time.time()
+        if self.backend == "pallas" and wband <= 512 and wband < rg + 1:
+            from ..ops import sw_pallas
+            pad = (-n) % sw_pallas.TILE
+            out = sw_pallas.anchored_forward_pallas_banded(
+                np.pad(qa, ((0, pad), (0, 0))), np.pad(qlens, (0, pad)),
+                np.pad(ra, ((0, pad), (0, 0))), np.pad(rlens, (0, pad)),
+                np.pad(lbws, (0, pad)), np.pad(rbws, (0, pad)),
+                wband=wband, **kw)
+            bt = np.ascontiguousarray(np.asarray(out["bt_b"])[:n])
+            score = np.ascontiguousarray(
+                np.asarray(out["score"])[:n].astype(np.int32))
+            self.stats["device_s"] += time.time() - t0
+            self.stats["d2h_bytes"] += bt.nbytes + score.nbytes
+            return (FMT_PACKED_BAND, bt, None, bt.shape[1] * bt.shape[2],
+                    wband, score)
+        if self.backend == "pallas" and rg <= 512:
+            from ..ops import sw_pallas
+            pad = (-n) % sw_pallas.TILE
+            out = sw_pallas.anchored_forward_pallas(
+                np.pad(qa, ((0, pad), (0, 0))), np.pad(qlens, (0, pad)),
+                np.pad(ra, ((0, pad), (0, 0))), np.pad(rlens, (0, pad)),
+                np.pad(lbws, (0, pad)), np.pad(rbws, (0, pad)), **kw)
+            bt = np.ascontiguousarray(np.asarray(out["bt"])[:n])
+            score = np.ascontiguousarray(
+                np.asarray(out["score"])[:n].astype(np.int32))
+            self.stats["device_s"] += time.time() - t0
+            self.stats["d2h_bytes"] += bt.nbytes + score.nbytes
+            return (FMT_PACKED, bt, None, bt.shape[1] * bt.shape[2],
+                    bt.shape[2], score)
+        if self.backend == "native":
+            out = host.anchored_forward(qa, qlens.astype(np.int64), ra,
+                                        rlens.astype(np.int64),
+                                        lbws.astype(np.int64),
+                                        rbws.astype(np.int64), **kw)
+        else:
+            from ..ops import sw_batch
+            # Pad the batch dim to a power-of-two tier so jit compiles a
+            # bounded set of shapes across chunks (pad rows are valid
+            # 1x1 problems; their results are sliced away).
+            pad = _pow2(n, 64) - n
+            out = sw_batch.batched_anchored_forward(
+                np.pad(qa, ((0, pad), (0, 0))),
+                np.pad(qlens, (0, pad), constant_values=1),
+                np.pad(ra, ((0, pad), (0, 0))),
+                np.pad(rlens, (0, pad), constant_values=1),
+                np.pad(lbws, (0, pad), constant_values=1),
+                np.pad(rbws, (0, pad), constant_values=1), **kw)
+            out = {k: np.asarray(v) for k, v in out.items()}
+        eo = np.ascontiguousarray(out["eo"][:n])
+        idc = np.ascontiguousarray(out["idc"][:n].astype(np.int32))
+        score = np.ascontiguousarray(out["score"][:n].astype(np.int32))
+        self.stats["device_s"] += time.time() - t0
+        self.stats["d2h_bytes"] += eo.nbytes + idc.nbytes + score.nbytes
+        return (FMT_EOIDC, eo, idc, eo.shape[1] * eo.shape[2],
+                eo.shape[2], score)
+
+    def _run_ext_bucket(self, qa, qlens, ra, rlens):
+        import time
+        aa = self.aa
+        kw = dict(band_width=aa.band_width, go=aa.go_cost, ge=aa.ge_cost,
+                  rc=aa.r_cost, ms=aa.m_score, max_gap=aa.max_gap,
+                  max_intron=aa.max_intron, x_cutoff=aa.x_cutoff)
+        n = qa.shape[0]
+        self.stats["dp_launches"] += 1
+        self.stats["h2d_bytes"] += qa.nbytes + ra.nbytes
+        t0 = time.time()
+        if self.backend == "pallas":
+            from ..ops import sw_pallas
+            pad = (-n) % sw_pallas.TILE
+            out = sw_pallas.extension_forward_pallas(
+                np.pad(qa, ((0, pad), (0, 0))), np.pad(qlens, (0, pad)),
+                np.pad(ra, ((0, pad), (0, 0)), constant_values=255),
+                np.pad(rlens, (0, pad)), **kw)
+            bt = np.ascontiguousarray(np.asarray(out["bt"])[:n])
+            score = np.ascontiguousarray(
+                np.asarray(out["score"])[:n].astype(np.int32))
+            maxi = np.ascontiguousarray(
+                np.asarray(out["maxi"])[:n].astype(np.int32))
+            maxj = np.ascontiguousarray(
+                np.asarray(out["maxj"])[:n].astype(np.int32))
+            self.stats["device_s"] += time.time() - t0
+            self.stats["d2h_bytes"] += bt.nbytes + 12 * n
+            return (FMT_PACKED, bt, None, bt.shape[1] * bt.shape[2],
+                    bt.shape[2], maxi, maxj, score)
+        if self.backend == "native":
+            out = host.extension_forward(qa, qlens.astype(np.int64), ra,
+                                         rlens.astype(np.int64), **kw)
+            out = {k: np.asarray(v) for k, v in out.items()}
+        else:
+            from ..ops import sw_batch
+            pad = _pow2(n, 64) - n       # stable jit shape tiers
+            out = sw_batch.batched_extension_forward(
+                np.pad(qa, ((0, pad), (0, 0))),
+                np.pad(qlens, (0, pad), constant_values=1),
+                np.pad(ra, ((0, pad), (0, 0)), constant_values=255),
+                np.pad(rlens, (0, pad),
+                       constant_values=1 + 2 * aa.band_width), **kw)
+            out = {k: np.asarray(v) for k, v in out.items()}
+        eo = np.ascontiguousarray(out["eo"][:n])
+        idc = np.ascontiguousarray(out["idc"][:n].astype(np.int32))
+        score = np.ascontiguousarray(out["score"][:n].astype(np.int32))
+        maxi = np.ascontiguousarray(out["maxi"][:n].astype(np.int32))
+        maxj = np.ascontiguousarray(out["maxj"][:n].astype(np.int32))
+        self.stats["device_s"] += time.time() - t0
+        self.stats["d2h_bytes"] += eo.nbytes + idc.nbytes + 12 * n
+        return (FMT_EOIDC, eo, idc, eo.shape[1] * eo.shape[2],
+                eo.shape[2], maxi, maxj, score)
+
+    # ---- phase drivers ----
+
+    def _gap_phase(self, ctx):
+        lib = self.lib
+        n = int(lib.yt_batch_gap_count(ctx))
+        self.stats["gap_problems"] += n
+        if n == 0:
+            return
+        if self.backend == "native" and self.inline_small:
+            # Zero-marshalling host path.
+            lib.yt_batch_gap_apply(ctx, FMT_NATIVE, 0, None, None, None,
+                                   0, 0, None)
+            return
+        qlen = np.empty(n, np.int32)
+        rlen = np.empty(n, np.int32)
+        lbw = np.empty(n, np.int32)
+        rbw = np.empty(n, np.int32)
+        lib.yt_batch_gap_meta(ctx, _p32(qlen), _p32(rlen), _p32(lbw),
+                              _p32(rbw))
+        qb = _pow2_arr(qlen)
+        rb = _pow2_arr(rlen)
+        keys = (qb << 32) | rb
+        for key in np.unique(keys):
+            idx = np.ascontiguousarray(np.nonzero(keys == key)[0]
+                                       .astype(np.int64))
+            m = len(idx)
+            qg = int(key >> 32)
+            rg = int(key & 0xFFFFFFFF)
+            qa = np.zeros((m, qg), np.uint8)
+            ra = np.zeros((m, rg), np.uint8)
+            lib.yt_batch_gap_fetch(ctx, m, _p64(idx), _pu8(qa), qg,
+                                   _pu8(ra), rg)
+            ql_b = qlen[idx].astype(np.int64)
+            rl_b = rlen[idx].astype(np.int64)
+            lb_b = lbw[idx].astype(np.int64)
+            rb_b = rbw[idx].astype(np.int64)
+            self.stats["gap_cells"] += int(
+                (np.minimum(lb_b + rb_b + 1, rl_b + 1) * ql_b).sum())
+            fmt, plane, idc, pstride, rstride, score = \
+                self._run_gap_bucket(qa, ql_b, ra, rl_b, lb_b, rb_b)
+            lib.yt_batch_gap_apply(
+                ctx, fmt, m, _p64(idx),
+                plane.ctypes.data_as(ct.c_void_p),
+                _p32(idc) if idc is not None else None,
+                pstride, rstride, _p32(score))
+
+    def _ext_phase(self, ctx):
+        lib = self.lib
+        n = int(lib.yt_batch_ext_count(ctx))
+        self.stats["ext_problems"] += n
+        if n == 0:
+            return
+        if self.backend == "native" and self.inline_small:
+            lib.yt_batch_ext_apply(ctx, FMT_NATIVE, 0, None, None, None,
+                                   0, 0, None, None, None)
+            return
+        qlen = np.empty(n, np.int32)
+        rlen = np.empty(n, np.int32)
+        rev = np.empty(n, np.uint8)
+        lib.yt_batch_ext_meta(ctx, _p32(qlen), _p32(rlen), _pu8(rev))
+        bw2 = 2 * self.aa.band_width
+        qb = _pow2_arr(qlen)
+        for key in np.unique(qb):
+            idx = np.ascontiguousarray(np.nonzero(qb == key)[0]
+                                       .astype(np.int64))
+            m = len(idx)
+            qg = int(key)
+            rg = qg + 2 * bw2
+            qa = np.zeros((m, qg), np.uint8)
+            ra = np.full((m, rg), 255, np.uint8)
+            lib.yt_batch_ext_fetch(ctx, m, _p64(idx), _pu8(qa), qg,
+                                   _pu8(ra), rg)
+            ql_b = qlen[idx].astype(np.int64)
+            rl_b = rlen[idx].astype(np.int64)
+            self.stats["ext_cells"] += int((ql_b * (2 * bw2 + 1)).sum())
+            fmt, plane, idc, pstride, rstride, maxi, maxj, score = \
+                self._run_ext_bucket(qa, ql_b, ra, rl_b)
+            lib.yt_batch_ext_apply(
+                ctx, fmt, m, _p64(idx),
+                plane.ctypes.data_as(ct.c_void_p),
+                _p32(idc) if idc is not None else None,
+                pstride, rstride, _p32(maxi), _p32(maxj), _p32(score))
+
+    # ---- driver ----
+
+    def align_chunk(self, pr, lo: int, hi: int):
+        """Align reads [lo, hi) of a ParsedReads through the staged
+        pipeline; returns (sam_bytes, seed_matches, records)."""
+        lib = self.lib
+        aa = self.aa
+        genome = self.genome
+        index = self.index
+        ip, fp = host._pack_params_ct(aa, self.n_threads)
+
+        def off64(p, k):
+            return ct.cast(ct.cast(p, ct.c_void_p).value + 8 * k, _i64p)
+
+        ctx = lib.yt_batch_begin(
+            pr.seqs, off64(pr.seq_offs, lo), pr.ids,
+            off64(pr.id_offs, lo), pr.quals if aa.fastq else None,
+            hi - lo,
+            ct.cast(genome.codes_buf, _u8p), genome.codes_len,
+            genome.max_roff,
+            ct.cast(genome._starts_arr, _i64p),
+            ct.cast(genome._lens_arr, _i64p), genome.n_seqs,
+            ct.cast(genome._names_blob, _u8p),
+            ct.cast(genome._name_offs, _i64p),
+            index.so_ptr, index.roa_ptr, index.roa_len,
+            ct.cast(ip, _i64p), ct.cast(fp, ct.POINTER(ct.c_double)),
+            1 if self.inline_small else 0)
+        if not ctx:
+            raise RuntimeError("yt_batch_begin failed")
+        try:
+            self._gap_phase(ctx)
+            lib.yt_batch_phase2(ctx)
+            self._ext_phase(ctx)
+            out_text = ct.c_void_p()
+            out_len = ct.c_int64()
+            sm = ct.c_int64()
+            nr = ct.c_int64()
+            rc = lib.yt_batch_finish(ctx, ct.byref(out_text),
+                                     ct.byref(out_len), ct.byref(sm),
+                                     ct.byref(nr))
+            assert rc == 0
+            try:
+                text = ct.string_at(out_text, out_len.value)
+            finally:
+                lib.yt_free(out_text)
+            return text, int(sm.value), int(nr.value)
+        finally:
+            lib.yt_batch_free(ctx)

@@ -2209,6 +2209,612 @@ static std::pair<int64_t, int64_t> align_read(State& st, std::string& out,
     return {seed_matches, n_aligns};
 }
 
+// ---- staged batch pipeline (device-DP offload) ----
+//
+// The per-read loop above (align_read) factored into batch-callable
+// stages whose boundaries are exactly the two DP phases, so the host
+// phases stay native C++ while the DP batches run on the TPU:
+//
+//   yt_batch_begin    reads -> seed/chain/clumps -> align stage 1
+//                     (perfect extensions, per-frag Match ops, gap
+//                     classification) with gap-fill DP problems deferred
+//   yt_batch_gap_*    export gap problems / apply device DP results
+//   yt_batch_phase2   collapse + clump-extension perfect stages, with
+//                     extension DP problems deferred
+//   yt_batch_ext_*    export extension problems / apply results
+//   yt_batch_finish   score/split (rare careful re-extensions run on the
+//                     native DP) -> OQC/FBS -> SAM text
+//
+// The stage split mirrors models/aligner.py's phased batch engine
+// (which is byte-parity-validated): all problems within a phase are
+// independent in the reference (QueryMatch.c:306-331 processes clumps
+// whose gap fills and extensions read only state fixed before any DP
+// runs), so batching across reads preserves byte parity.
+
+struct StagedProb {
+    Clump* clump;
+    int32_t read;        // slot index
+    int32_t sfrag_idx;   // gap: index into clump->sfrags; ext: -1
+    uint8_t reverse;     // ext only
+    int32_t qlen, rlen, lbw, rbw;
+    int64_t q_off, r_off;    // offsets into the read slot's slice arena
+};
+
+struct ReadSlot {
+    State st;
+    std::string out;
+    std::vector<StagedProb> gaps, exts;
+    std::vector<uint8_t> arena;      // materialized q/r problem slices
+    int64_t seed_matches = 0;
+};
+
+struct BatchCtx {
+    Params aa;
+    GenomeView genome;
+    const uint32_t* so = nullptr;
+    const uint32_t* roa = nullptr;
+    int64_t roa_len = 0;
+    const uint8_t* seqs = nullptr;
+    const int64_t* seq_offs = nullptr;
+    const uint8_t* ids = nullptr;
+    const int64_t* id_offs = nullptr;
+    const uint8_t* quals = nullptr;
+    int64_t n_reads = 0, n_threads = 1;
+    bool inline_small = true;
+    std::vector<ReadSlot> slots;
+    std::vector<StagedProb*> gap_ptr, ext_ptr;   // global problem order
+    int64_t rec_sum = 0;
+};
+
+template <class F>
+static void staged_run(BatchCtx& c, int64_t count, F fn) {
+    std::atomic<int64_t> next{0};
+    auto worker = [&]() {
+        yt_wide_scores = c.aa.max_query_length > 32000 ? 1 : 0;
+        yt_max_region_frags = c.aa.max_region_frags;
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= count) break;
+            fn(i);
+        }
+    };
+    int64_t nt = c.n_threads;
+    if (nt > count) nt = count;
+    if (nt <= 1) { worker(); return; }
+    std::vector<std::thread> ts;
+    for (int64_t t = 1; t < nt; t++) ts.emplace_back(worker);
+    worker();
+    for (auto& th : ts) th.join();
+}
+
+// py_slice into an append-only arena; returns the base offset.
+static int64_t arena_append(std::vector<uint8_t>& a, const uint8_t* src,
+                            int64_t slen, int64_t start, int64_t count) {
+    int64_t base = (int64_t)a.size();
+    a.resize(a.size() + (size_t)std::max<int64_t>(count, 0), 0);
+    if (count > 0) {
+        int64_t stop = start + count;
+        if (start < 0) { start += slen; if (start < 0) start = 0; }
+        if (stop < 0) { stop += slen; if (stop < 0) stop = 0; }
+        if (start > slen) start = slen;
+        if (stop > slen) stop = slen;
+        uint8_t* dst = a.data() + base;
+        for (int64_t i = start, k = 0; i < stop; i++, k++) dst[k] = src[i];
+    }
+    return base;
+}
+
+// makeAndAlignSFragmentToFillGap with the DP arm deferred (or, for
+// small problems, run inline on anchored_dp_small — every DP backend is
+// bit-identical, so the inline/defer split cannot change output).
+static bool stage1_make_gap(State& st, SFrag& sf1, SFrag& sf2,
+                            const uint8_t* q_codes, SFrag& new_sf,
+                            ReadSlot& slot, Clump& clump,
+                            int32_t sfrag_idx, bool inline_small,
+                            int32_t read) {
+    const Params& aa = *st.aa;
+    Frag& frag1 = sf1.frag;
+    Frag& frag2 = sf2.frag;
+    int64_t q_gap = calc_gap(frag1.eqo, frag2.sqo);
+    int64_t r_gap = calc_gap(frag1.ero(), frag2.sro);
+    if (q_gap == 0 && r_gap == 0) return false;
+    Frag& nf = new_sf.frag;
+    nf.sqo = frag1.eqo + 1;
+    nf.eqo = frag2.sqo - 1;
+    nf.sro = (frag1.ero() + 1) & M32;
+    nf.set_ero(frag2.sro - 1);
+    EOL& lst = new_sf.eol;
+    if (q_gap == 0) {
+        lst.push_back({'D', (int32_t)r_gap});
+        new_sf.score = calc_gap_cost(r_gap, aa);
+    } else if (r_gap == 0) {
+        lst.push_back({'I', (int32_t)q_gap});
+        new_sf.score = calc_gap_cost(q_gap, aa);
+    } else if (r_gap == 1 && q_gap == 1) {
+        lst.push_back({'R', 1});
+        new_sf.score = -aa.r_cost;
+    } else {
+        // find_ags_alignment's band selection (SW.cpp:849-871).
+        int64_t len_diff = std::abs(q_gap - r_gap);
+        bool banded = len_diff + aa.band_width * 2 + 1 < r_gap;
+        int64_t lbw, rbw;
+        if (banded) {
+            if (r_gap > q_gap) {
+                lbw = aa.band_width;
+                rbw = aa.band_width + (r_gap - q_gap);
+            } else {
+                lbw = aa.band_width + (q_gap - r_gap);
+                rbw = aa.band_width;
+            }
+        } else {
+            lbw = rbw = std::max(q_gap, r_gap) + 1;
+        }
+        const GenomeView& g = *st.genome;
+        if (inline_small && q_gap <= 24 && r_gap <= 24) {
+            const uint8_t* q;
+            const uint8_t* r;
+            if (nf.sqo >= 0 && nf.sqo + q_gap <= st.q_len) {
+                q = q_codes + nf.sqo;
+            } else {
+                py_slice(st.buf_q, q_codes, st.q_len, nf.sqo, q_gap);
+                q = st.buf_q.data();
+            }
+            if (nf.sro >= 0 && nf.sro + r_gap <= g.codes_len) {
+                r = g.codes + nf.sro;
+            } else {
+                py_slice(st.buf_r, g.codes, g.codes_len, nf.sro, r_gap);
+                r = st.buf_r.data();
+            }
+            new_sf.score = anchored_dp_small(aa, q, q_gap, r, r_gap, lbw,
+                                             rbw, lst);
+        } else {
+            StagedProb p;
+            p.clump = &clump;
+            p.read = read;
+            p.sfrag_idx = sfrag_idx;
+            p.reverse = 0;
+            p.qlen = (int32_t)q_gap;
+            p.rlen = (int32_t)r_gap;
+            p.lbw = (int32_t)lbw;
+            p.rbw = (int32_t)rbw;
+            p.q_off = arena_append(slot.arena, q_codes, st.q_len, nf.sqo,
+                                   q_gap);
+            p.r_off = arena_append(slot.arena, g.codes, g.codes_len,
+                                   nf.sro, r_gap);
+            slot.gaps.push_back(p);
+        }
+    }
+    return true;
+}
+
+// alignClump stage 1: everything before the gap-fill DP results are
+// needed (AlignHelpers.c:205-262 minus collapse/extend).
+static void align_clump_stage1(State& st, Clump& clump, ReadSlot& slot,
+                               bool inline_small, int32_t read) {
+    if (clump.aligned()) return;
+    const Params& aa = *st.aa;
+    const GenomeView& g = *st.genome;
+    const uint8_t* q_codes = st.qcodes(clump);
+    std::vector<SFrag>& sfrags = clump.sfrags;
+
+    for (size_t k = 0; k + 1 < sfrags.size(); k++) {
+        Frag& frag1 = sfrags[k].frag;
+        Frag& frag2 = sfrags[k + 1].frag;
+        int64_t gap = std::min(calc_gap(frag1.eqo, frag2.sqo),
+                               calc_gap(frag1.ero(), frag2.sro));
+        gap -= ext_back_perfect(frag2, g.codes, g.codes_len, q_codes,
+                                st.q_len, gap);
+        gap -= ext_fwd_perfect(frag1, g.codes, g.codes_len, q_codes,
+                               st.q_len, gap);
+    }
+    for (SFrag& sf : sfrags) {
+        int64_t q_len = sf.frag.qlen();
+        sf.eol.insert(sf.eol.begin(), {'M', (int32_t)q_len});
+        sf.score = aa.m_score * q_len;
+    }
+    if (sfrags.size() > 1) {
+        std::vector<SFrag> merged;
+        merged.reserve(sfrags.size() * 2 - 1);
+        merged.push_back(std::move(sfrags[0]));
+        for (size_t i = 0; i + 1 < sfrags.size(); i++) {
+            SFrag new_sf;
+            if (stage1_make_gap(st, merged.back(), sfrags[i + 1], q_codes,
+                                new_sf, slot, clump,
+                                (int32_t)merged.size(), inline_small,
+                                read))
+                merged.push_back(std::move(new_sf));
+            merged.push_back(std::move(sfrags[i + 1]));
+        }
+        sfrags.swap(merged);
+    }
+}
+
+static void staged_phase1(BatchCtx& c, int64_t i) {
+    ReadSlot& slot = c.slots[(size_t)i];
+    State& st = slot.st;
+    st.aa = &c.aa;
+    st.genome = &c.genome;
+    st.so = c.so;
+    st.roa = c.roa;
+    st.roa_len = c.roa_len;
+    int64_t s0 = c.seq_offs[i], s1 = c.seq_offs[i + 1];
+    int64_t qlen = s1 - s0;
+    st.q_len = qlen;
+    st.fwd_chars = c.seqs + s0;
+    st.qual = c.quals != nullptr ? c.quals + s0 : nullptr;
+    st.query_id.assign((const char*)c.ids + c.id_offs[i],
+                       (size_t)(c.id_offs[i + 1] - c.id_offs[i]));
+    st.fwd_codes.resize((size_t)qlen);
+    st.rev_codes.resize((size_t)qlen);
+    st.rev_chars.resize((size_t)qlen);
+    for (int64_t k = 0; k < qlen; k++)
+        st.fwd_codes[(size_t)k] = kCodes[st.fwd_chars[k]];
+    for (int64_t k = 0; k < qlen; k++) {
+        uint8_t rc = kComp[st.fwd_codes[(size_t)(qlen - 1 - k)] & 0xF];
+        st.rev_codes[(size_t)k] = rc;
+        st.rev_chars[(size_t)k] = (uint8_t)kChars[rc];
+    }
+    uint32_t seed[5];
+    query_seed(st.fwd_codes.data(), qlen, seed);
+    memcpy(st.rng.s, seed, sizeof seed);
+    st.arena_used = 0;
+    st.clumps.clear();
+    st.primary_count = 0;
+    yt_skipped_regions = 0;
+    int64_t fwd = process_strand(st, false);
+    int64_t rev = process_strand(st, true);
+    if (yt_skipped_regions > 0)
+        fprintf(stderr, "Warning: skipped %lld fragment region(s) with "
+                "more than %lld fragments in query %s.\n",
+                (long long)yt_skipped_regions,
+                (long long)yt_max_region_frags, st.query_id.c_str());
+    slot.seed_matches = fwd + rev;
+    for (Clump* cl : st.clumps)
+        align_clump_stage1(st, *cl, slot, c.inline_small, (int32_t)i);
+}
+
+// extendClumpForwardReverse's DP deferral: the trimming half of
+// find_ags_extension (SW.cpp:496-507) with the slices materialized.
+static void stage2_defer_ext(State& st, ReadSlot& slot, Clump& clump,
+                             int64_t r_off, const uint8_t* q_codes,
+                             int64_t q_off, int64_t q_len, bool reverse,
+                             int32_t read) {
+    const Params& aa = *st.aa;
+    const GenomeView& g = *st.genome;
+    if (q_len <= 0) return;
+    const int64_t bandwidth = 2 * aa.band_width;
+    int64_t r_len = q_len + bandwidth;
+    if (reverse) {
+        if (r_len > r_off) {
+            r_len = r_off + 1;
+            q_len = r_len - bandwidth;
+            if (q_len <= 0) return;
+        }
+    } else {
+        if (r_off + r_len > g.max_roff) {
+            r_len = g.max_roff - r_off;
+            q_len = r_len - bandwidth;
+            if (q_len <= 0) return;
+        }
+    }
+    StagedProb p;
+    p.clump = &clump;
+    p.read = read;
+    p.sfrag_idx = -1;
+    p.reverse = reverse ? 1 : 0;
+    p.qlen = (int32_t)q_len;
+    p.rlen = (int32_t)r_len;
+    p.lbw = p.rbw = 0;
+    size_t base;
+    if (reverse) {
+        p.q_off = arena_append(slot.arena, q_codes, st.q_len,
+                               q_off - q_len + 1, q_len);
+        base = (size_t)p.q_off;
+        std::reverse(slot.arena.begin() + base, slot.arena.end());
+        p.r_off = arena_append(slot.arena, g.codes, g.codes_len,
+                               r_off - r_len + 1, r_len);
+        base = (size_t)p.r_off;
+        std::reverse(slot.arena.begin() + base, slot.arena.end());
+    } else {
+        p.q_off = arena_append(slot.arena, q_codes, st.q_len, q_off,
+                               q_len);
+        p.r_off = arena_append(slot.arena, g.codes, g.codes_len, r_off,
+                               r_len);
+    }
+    slot.exts.push_back(p);
+}
+
+// Stage 2 for one clump: collapse + the perfect halves of
+// extendClumpForwardReverse, extension DPs deferred (or inlined when
+// small — ext_dp_small's domain, bit-identical to every backend).
+static void stage2_clump(State& st, Clump& clump, ReadSlot& slot,
+                         bool inline_small, int32_t read) {
+    const Params& aa = *st.aa;
+    collapse_sfragments(clump);
+    SFrag& sf = clump.sfrags.front();
+    Frag& frag = sf.frag;
+    EOL& lst = clump.eol;
+    const GenomeView& g = *st.genome;
+    const uint8_t* q_codes = st.qcodes(clump);
+    int64_t score = sf.score;
+
+    int64_t back_len = std::min(frag.sqo, frag.sro);
+    if (back_len > 0) {
+        int64_t nm = ext_back_perfect(frag, g.codes, g.codes_len, q_codes,
+                                      st.q_len, back_len);
+        if (nm > 0) {
+            lst.front().len += nm;
+            score += nm * aa.m_score;
+            back_len -= nm;
+        }
+    }
+    int64_t qlen = (st.q_len - 1) - frag.eqo;
+    int64_t rlen = g.max_roff - frag.ero();
+    int64_t forw_len = std::min(qlen, rlen);
+    if (forw_len > 0) {
+        int64_t nm = ext_fwd_perfect(frag, g.codes, g.codes_len, q_codes,
+                                     st.q_len, forw_len);
+        if (nm > 0) {
+            lst.back().len += nm;
+            score += nm * aa.m_score;
+            forw_len -= nm;
+        }
+    }
+    bool small = inline_small && aa.band_width <= 8;
+    if (back_len >= aa.min_ext_length) {
+        if (small && back_len <= 24) {
+            int64_t aq, ar;
+            int64_t ns = find_ags_extension(st, frag.sro - 1, q_codes,
+                                            frag.sqo - 1, back_len, lst,
+                                            true, &aq, &ar);
+            if (ns > 0) {
+                score += ns;
+                frag.add_q_front(aq);
+                frag.add_r_front(ar);
+            }
+        } else {
+            stage2_defer_ext(st, slot, clump, frag.sro - 1, q_codes,
+                             frag.sqo - 1, back_len, true, read);
+        }
+    }
+    if (forw_len >= aa.min_ext_length) {
+        if (small && forw_len <= 24) {
+            int64_t aq, ar;
+            int64_t ns = find_ags_extension(st, frag.ero() + 1, q_codes,
+                                            frag.eqo + 1, forw_len, lst,
+                                            false, &aq, &ar);
+            if (ns > 0) {
+                score += ns;
+                frag.add_q_back(aq);
+                frag.add_r_back(ar);
+            }
+        } else {
+            stage2_defer_ext(st, slot, clump, frag.ero() + 1, q_codes,
+                             frag.eqo + 1, forw_len, false, read);
+        }
+    }
+    sf.score = score;
+    clump.set(ST_ALIGNED, true);
+}
+
+static void staged_phase2(BatchCtx& c, int64_t i) {
+    ReadSlot& slot = c.slots[(size_t)i];
+    State& st = slot.st;
+    for (Clump* cl : st.clumps)
+        stage2_clump(st, *cl, slot, c.inline_small, (int32_t)i);
+}
+
+// Stage 3 = the back half of align_read: score/split -> OQC/FBS ->
+// output text (QueryMatch.c:306-344, GraphPath.cpp:897-1086,
+// AlignOutput.c:115-321).
+static void staged_phase3(BatchCtx& c, int64_t i) {
+    ReadSlot& slot = c.slots[(size_t)i];
+    State& st = slot.st;
+    std::vector<Clump*> old;
+    old.swap(st.clumps);
+    for (Clump* clump : old) {
+        score_clump(st, *clump);
+        if (clump->scored())
+            st.clumps.insert(st.clumps.begin(), clump);
+    }
+    if (st.aa->oqc) post_filter_by_similarity(st);
+    else post_filter_remove_dups(st);
+    for (Clump* clump : st.clumps)
+        print_clump(st, *clump, slot.out);
+}
+
+// ---- staged-result decode walkers (EOL-producing twins of the
+// yt_traceback_* batch walkers / ops/dp_common.py) ----
+
+enum { FMT_NATIVE = 0, FMT_EOIDC = 1, FMT_PACKED = 2, FMT_PACKED_BAND = 3 };
+static const int BT_OP = 7, BT_CD = 8, BT_CF = 16;
+
+static void decode_anchored_eoidc(const int8_t* e, const int32_t* d,
+                                  int64_t row, int64_t qlen, int64_t rlen,
+                                  EOL& items) {
+    int64_t x = rlen, y = qlen;
+    items.clear();
+    int prev = e[y * row + x];
+    int64_t op_len = 0;
+    for (;;) {
+        int code = e[y * row + x];
+        if (code == OP_U) break;
+        int64_t length = d[y * row + x];
+        if (code == OP_D) x -= length;
+        else if (code == OP_I) y -= length;
+        else { x -= 1; y -= 1; length = 1; }
+        if (prev != code) {
+            items.push_back({kOpChars[prev], (int32_t)op_len});
+            prev = code;
+            op_len = length;
+        } else {
+            op_len += length;
+        }
+    }
+    items.push_back({kOpChars[prev], (int32_t)op_len});
+    std::reverse(items.begin(), items.end());
+}
+
+static void decode_anchored_packed(const uint8_t* e, int64_t row,
+                                   int64_t qlen, int64_t rlen, EOL& items) {
+    int64_t x = rlen, y = qlen;
+    items.clear();
+    int prev = e[y * row + x] & BT_OP;
+    int64_t op_len = 0;
+    for (;;) {
+        int b = e[y * row + x];
+        int code = b & BT_OP;
+        if (code == OP_U) break;
+        int64_t length = 1;
+        if (code == OP_D) {
+            int64_t xx = x;
+            while (e[y * row + xx] & BT_CD) { length++; xx--; }
+            x -= length;
+        } else if (code == OP_I) {
+            int64_t yy = y;
+            while (e[yy * row + x] & BT_CF) { length++; yy--; }
+            y -= length;
+        } else { x -= 1; y -= 1; }
+        if (prev != code) {
+            items.push_back({kOpChars[prev], (int32_t)op_len});
+            prev = code;
+            op_len = length;
+        } else {
+            op_len += length;
+        }
+    }
+    items.push_back({kOpChars[prev], (int32_t)op_len});
+    std::reverse(items.begin(), items.end());
+}
+
+static void decode_anchored_banded(const uint8_t* e, int64_t row,
+                                   int64_t qlen, int64_t rlen, int64_t lbw,
+                                   EOL& items) {
+    int64_t y = qlen;
+    int64_t o = rlen - y + lbw;
+    items.clear();
+    int prev = e[y * row + o] & BT_OP;
+    int64_t op_len = 0;
+    for (;;) {
+        int b = e[y * row + o];
+        int code = b & BT_OP;
+        if (code == OP_U) break;
+        int64_t length = 1;
+        if (code == OP_D) {
+            int64_t oo = o;
+            while (e[y * row + oo] & BT_CD) { length++; oo--; }
+            o -= length;
+        } else if (code == OP_I) {
+            int64_t yy = y, oo = o;
+            while (e[yy * row + oo] & BT_CF) { length++; yy--; oo++; }
+            y -= length;
+            o += length;
+        } else { y -= 1; }
+        if (prev != code) {
+            items.push_back({kOpChars[prev], (int32_t)op_len});
+            prev = code;
+            op_len = length;
+        } else {
+            op_len += length;
+        }
+    }
+    items.push_back({kOpChars[prev], (int32_t)op_len});
+    std::reverse(items.begin(), items.end());
+}
+
+static void decode_ext_eoidc(const int8_t* e, const int32_t* d,
+                             int64_t row, int64_t maxi, int64_t maxj,
+                             bool reverse, EOL& items) {
+    int64_t x = maxj, y = maxi;
+    items.clear();
+    int prev = e[y * row + x];
+    int64_t op_len = 0;
+    for (;;) {
+        int code = e[y * row + x];
+        if (code == OP_U) break;
+        int64_t length = d[y * row + x];
+        if (code == OP_D) x -= length;
+        else if (code == OP_I) { x += length; y -= length; }
+        else { y -= 1; length = 1; }
+        if (prev != code) {
+            items.push_back({kOpChars[prev], (int32_t)op_len});
+            prev = code;
+            op_len = length;
+        } else {
+            op_len += length;
+        }
+    }
+    items.push_back({kOpChars[prev], (int32_t)op_len});
+    if (!reverse) std::reverse(items.begin(), items.end());
+}
+
+static void decode_ext_packed(const uint8_t* e, int64_t row, int64_t maxi,
+                              int64_t maxj, bool reverse, EOL& items) {
+    int64_t x = maxj, y = maxi;
+    items.clear();
+    int prev = e[y * row + x] & BT_OP;
+    int64_t op_len = 0;
+    for (;;) {
+        int b = e[y * row + x];
+        int code = b & BT_OP;
+        if (code == OP_U) break;
+        int64_t length = 1;
+        if (code == OP_D) {
+            int64_t xx = x;
+            while (e[y * row + xx] & BT_CD) { length++; xx--; }
+            x -= length;
+        } else if (code == OP_I) {
+            int64_t yy = y, xx = x;
+            while (e[yy * row + xx] & BT_CF) { length++; yy--; xx++; }
+            x += length;
+            y -= length;
+        } else { y -= 1; }
+        if (prev != code) {
+            items.push_back({kOpChars[prev], (int32_t)op_len});
+            prev = code;
+            op_len = length;
+        } else {
+            op_len += length;
+        }
+    }
+    items.push_back({kOpChars[prev], (int32_t)op_len});
+    if (!reverse) std::reverse(items.begin(), items.end());
+}
+
+static Params params_from(const int64_t* iparams, const double* fparams) {
+    Params aa;
+    aa.word_len = iparams[IP_WORD_LEN];
+    aa.max_hits = iparams[IP_MAX_HITS];
+    aa.max_gap = iparams[IP_MAX_GAP];
+    aa.max_intron = iparams[IP_MAX_INTRON];
+    aa.min_match = iparams[IP_MIN_MATCH];
+    aa.max_desert = iparams[IP_MAX_DESERT];
+    aa.min_raw_score = iparams[IP_MIN_RAW_SCORE];
+    aa.min_non_overlap = iparams[IP_MIN_NON_OVERLAP];
+    aa.oqc_min_non_overlap = iparams[IP_OQC_MIN_NON_OVERLAP];
+    aa.band_width = iparams[IP_BAND_WIDTH];
+    aa.m_score = iparams[IP_M_SCORE];
+    aa.r_cost = iparams[IP_R_COST];
+    aa.go_cost = iparams[IP_GO_COST];
+    aa.ge_cost = iparams[IP_GE_COST];
+    aa.x_cutoff = iparams[IP_X_CUTOFF];
+    aa.min_ext_length = iparams[IP_MIN_EXT_LENGTH];
+    aa.bp_cost = iparams[IP_BP_COST];
+    aa.max_bp_log = iparams[IP_MAX_BP_LOG];
+    aa.oqc = iparams[IP_OQC] != 0;
+    aa.fbs = iparams[IP_FBS] != 0;
+    aa.output_sam = iparams[IP_OUTPUT_SAM] != 0;
+    aa.output_blast8 = iparams[IP_OUTPUT_BLAST8] != 0;
+    aa.hard_clip = iparams[IP_HARD_CLIP] != 0;
+    aa.fastq = iparams[IP_FASTQ] != 0;
+    aa.min_identity = fparams[0];
+    aa.fbs_ps_length = fparams[1];
+    aa.fbs_ps_score = fparams[2];
+    aa.max_query_length = iparams[IP_MAX_QUERY_LEN];
+    aa.max_region_frags = iparams[IP_MAX_REGION_FRAGS];
+    return aa;
+}
+
 }  // namespace yp
 
 // ---- batch entry point ----
@@ -2443,6 +3049,272 @@ int yt_align_batch(
     if (total_seed_matches) *total_seed_matches = seed_sum.load();
     if (total_records) *total_records = rec_sum.load();
     return 0;
+}
+
+// ---- staged batch API (see the staged-pipeline comment block above) ----
+//
+// Lifetime: all pointer arguments to yt_batch_begin (reads, genome,
+// index, params) must stay valid until yt_batch_free — the context
+// stores pointers, not copies.
+
+void* yt_batch_begin(
+    const uint8_t* seqs, const int64_t* seq_offs,
+    const uint8_t* ids, const int64_t* id_offs,
+    const uint8_t* quals, int64_t n_reads,
+    const uint8_t* genome_codes, int64_t genome_len, int64_t max_roff,
+    const int64_t* bs_starts, const int64_t* bs_lens, int64_t n_seqs,
+    const uint8_t* bs_names, const int64_t* bs_name_offs,
+    const uint32_t* so, const uint32_t* roa, int64_t roa_len,
+    const int64_t* iparams, const double* fparams,
+    int64_t inline_small) {
+    using namespace yp;
+    init_tables();
+    BatchCtx* c = new BatchCtx();
+    c->aa = params_from(iparams, fparams);
+    c->n_threads = iparams[IP_N_THREADS];
+    if (c->n_threads < 1) c->n_threads = 1;
+    int64_t hw = (int64_t)std::thread::hardware_concurrency();
+    if (hw > 0 && c->n_threads > hw) c->n_threads = hw;
+    c->inline_small = inline_small != 0;
+    c->genome.codes = genome_codes;
+    c->genome.codes_len = genome_len;
+    c->genome.max_roff = max_roff;
+    c->genome.starts = bs_starts;
+    c->genome.lens = bs_lens;
+    c->genome.n_seqs = n_seqs;
+    c->genome.names.reserve((size_t)n_seqs);
+    for (int64_t i = 0; i < n_seqs; i++)
+        c->genome.names.emplace_back(
+            (const char*)bs_names + bs_name_offs[i],
+            (size_t)(bs_name_offs[i + 1] - bs_name_offs[i]));
+    c->so = so;
+    c->roa = roa;
+    c->roa_len = roa_len;
+    c->seqs = seqs;
+    c->seq_offs = seq_offs;
+    c->ids = ids;
+    c->id_offs = id_offs;
+    c->quals = quals;
+    c->n_reads = n_reads;
+    c->slots.resize((size_t)n_reads);
+    staged_run(*c, n_reads,
+               [c](int64_t i) { staged_phase1(*c, i); });
+    for (ReadSlot& slot : c->slots)
+        for (StagedProb& p : slot.gaps) c->gap_ptr.push_back(&p);
+    return c;
+}
+
+int64_t yt_batch_gap_count(void* h) {
+    return (int64_t)((yp::BatchCtx*)h)->gap_ptr.size();
+}
+
+void yt_batch_gap_meta(void* h, int32_t* qlen, int32_t* rlen,
+                       int32_t* lbw, int32_t* rbw) {
+    yp::BatchCtx& c = *(yp::BatchCtx*)h;
+    for (size_t k = 0; k < c.gap_ptr.size(); k++) {
+        qlen[k] = c.gap_ptr[k]->qlen;
+        rlen[k] = c.gap_ptr[k]->rlen;
+        lbw[k] = c.gap_ptr[k]->lbw;
+        rbw[k] = c.gap_ptr[k]->rbw;
+    }
+}
+
+void yt_batch_gap_fetch(void* h, int64_t n, const int64_t* idx,
+                        uint8_t* q, int64_t qstride,
+                        uint8_t* r, int64_t rstride) {
+    yp::BatchCtx& c = *(yp::BatchCtx*)h;
+    for (int64_t k = 0; k < n; k++) {
+        const yp::StagedProb& p = *c.gap_ptr[(size_t)idx[k]];
+        const uint8_t* arena = c.slots[(size_t)p.read].arena.data();
+        memcpy(q + k * qstride, arena + p.q_off, (size_t)p.qlen);
+        memcpy(r + k * rstride, arena + p.r_off, (size_t)p.rlen);
+    }
+}
+
+// Apply gap-fill DP results.  format: FMT_NATIVE runs every problem on
+// the host DP (idx/arrays ignored, n ignored); FMT_EOIDC takes int8 eo +
+// int32 idc planes; FMT_PACKED a packed full-coordinate plane;
+// FMT_PACKED_BAND a packed band-relative plane (row_stride = wband).
+// plane_stride/row_stride are in elements.  Each problem touches only
+// its own SFrag, so decode+apply parallelizes over problems.
+int yt_batch_gap_apply(void* h, int64_t format, int64_t n,
+                       const int64_t* idx, const void* plane,
+                       const int32_t* idc, int64_t plane_stride,
+                       int64_t row_stride, const int32_t* score) {
+    using namespace yp;
+    BatchCtx& c = *(BatchCtx*)h;
+    if (format == FMT_NATIVE) {
+        int64_t total = (int64_t)c.gap_ptr.size();
+        staged_run(c, total, [&c](int64_t k) {
+            static thread_local State scratch;
+            scratch.aa = &c.aa;
+            StagedProb& p = *c.gap_ptr[(size_t)k];
+            SFrag& sf = p.clump->sfrags[(size_t)p.sfrag_idx];
+            const uint8_t* arena = c.slots[(size_t)p.read].arena.data();
+            sf.score = anchored_dp(scratch, arena + p.q_off, p.qlen,
+                                   arena + p.r_off, p.rlen, p.lbw, p.rbw,
+                                   sf.eol);
+        });
+        return 0;
+    }
+    staged_run(c, n, [&](int64_t k) {
+        StagedProb& p = *c.gap_ptr[(size_t)idx[k]];
+        SFrag& sf = p.clump->sfrags[(size_t)p.sfrag_idx];
+        if (format == FMT_EOIDC)
+            decode_anchored_eoidc((const int8_t*)plane + k * plane_stride,
+                                  idc + k * plane_stride, row_stride,
+                                  p.qlen, p.rlen, sf.eol);
+        else if (format == FMT_PACKED)
+            decode_anchored_packed((const uint8_t*)plane + k * plane_stride,
+                                   row_stride, p.qlen, p.rlen, sf.eol);
+        else
+            decode_anchored_banded((const uint8_t*)plane + k * plane_stride,
+                                   row_stride, p.qlen, p.rlen, p.lbw,
+                                   sf.eol);
+        sf.score = score[k];
+    });
+    return 0;
+}
+
+void yt_batch_phase2(void* h) {
+    using namespace yp;
+    BatchCtx& c = *(BatchCtx*)h;
+    staged_run(c, c.n_reads, [&c](int64_t i) { staged_phase2(c, i); });
+    for (ReadSlot& slot : c.slots)
+        for (StagedProb& p : slot.exts) c.ext_ptr.push_back(&p);
+}
+
+int64_t yt_batch_ext_count(void* h) {
+    return (int64_t)((yp::BatchCtx*)h)->ext_ptr.size();
+}
+
+void yt_batch_ext_meta(void* h, int32_t* qlen, int32_t* rlen,
+                       uint8_t* rev) {
+    yp::BatchCtx& c = *(yp::BatchCtx*)h;
+    for (size_t k = 0; k < c.ext_ptr.size(); k++) {
+        qlen[k] = c.ext_ptr[k]->qlen;
+        rlen[k] = c.ext_ptr[k]->rlen;
+        rev[k] = c.ext_ptr[k]->reverse;
+    }
+}
+
+void yt_batch_ext_fetch(void* h, int64_t n, const int64_t* idx,
+                        uint8_t* q, int64_t qstride,
+                        uint8_t* r, int64_t rstride) {
+    yp::BatchCtx& c = *(yp::BatchCtx*)h;
+    for (int64_t k = 0; k < n; k++) {
+        const yp::StagedProb& p = *c.ext_ptr[(size_t)idx[k]];
+        const uint8_t* arena = c.slots[(size_t)p.read].arena.data();
+        memcpy(q + k * qstride, arena + p.q_off, (size_t)p.qlen);
+        memcpy(r + k * rstride, arena + p.r_off, (size_t)p.rlen);
+    }
+}
+
+// Apply extension DP results.  FMT_NATIVE runs the host DP over all
+// problems; FMT_EOIDC / FMT_PACKED decode banded-layout planes from
+// (maxi, maxj).  Two extensions can share a clump (back + forward), so
+// decode runs parallel into scratch and the merges apply serially.
+int yt_batch_ext_apply(void* h, int64_t format, int64_t n,
+                       const int64_t* idx, const void* plane,
+                       const int32_t* idc, int64_t plane_stride,
+                       int64_t row_stride, const int32_t* maxi,
+                       const int32_t* maxj, const int32_t* score) {
+    using namespace yp;
+    BatchCtx& c = *(BatchCtx*)h;
+    const int64_t bw2 = 2 * c.aa.band_width;
+    if (format == FMT_NATIVE) {
+        int64_t total = (int64_t)c.ext_ptr.size();
+        std::vector<EOL> items((size_t)total);
+        std::vector<int64_t> sc(total), aq(total), ar(total);
+        staged_run(c, total, [&](int64_t k) {
+            static thread_local State scratch;
+            scratch.aa = &c.aa;
+            StagedProb& p = *c.ext_ptr[(size_t)k];
+            const uint8_t* arena = c.slots[(size_t)p.read].arena.data();
+            sc[k] = ext_dp(scratch, arena + p.q_off, p.qlen,
+                           arena + p.r_off, p.rlen, p.reverse != 0,
+                           items[(size_t)k], &aq[k], &ar[k]);
+        });
+        for (int64_t k = 0; k < total; k++) {
+            if (sc[k] <= 0) continue;
+            StagedProb& p = *c.ext_ptr[(size_t)k];
+            SFrag& sf = p.clump->sfrags.front();
+            if (p.reverse) {
+                eol_merge_front(p.clump->eol, items[(size_t)k]);
+                sf.frag.add_q_front(aq[k]);
+                sf.frag.add_r_front(ar[k]);
+            } else {
+                eol_merge_back(p.clump->eol, items[(size_t)k]);
+                sf.frag.add_q_back(aq[k]);
+                sf.frag.add_r_back(ar[k]);
+            }
+            sf.score += sc[k];
+        }
+        return 0;
+    }
+    std::vector<EOL> items((size_t)n);
+    staged_run(c, n, [&](int64_t k) {
+        if (score[k] <= 0) return;
+        if (format == FMT_EOIDC)
+            decode_ext_eoidc((const int8_t*)plane + k * plane_stride,
+                             idc + k * plane_stride, row_stride,
+                             maxi[k], maxj[k],
+                             c.ext_ptr[(size_t)idx[k]]->reverse != 0,
+                             items[(size_t)k]);
+        else
+            decode_ext_packed((const uint8_t*)plane + k * plane_stride,
+                              row_stride, maxi[k], maxj[k],
+                              c.ext_ptr[(size_t)idx[k]]->reverse != 0,
+                              items[(size_t)k]);
+    });
+    for (int64_t k = 0; k < n; k++) {
+        if (score[k] <= 0) continue;
+        StagedProb& p = *c.ext_ptr[(size_t)idx[k]];
+        SFrag& sf = p.clump->sfrags.front();
+        int64_t aq = maxi[k];
+        int64_t ar = maxi[k] + (maxj[k] - bw2);
+        if (p.reverse) {
+            eol_merge_front(p.clump->eol, items[(size_t)k]);
+            sf.frag.add_q_front(aq);
+            sf.frag.add_r_front(ar);
+        } else {
+            eol_merge_back(p.clump->eol, items[(size_t)k]);
+            sf.frag.add_q_back(aq);
+            sf.frag.add_r_back(ar);
+        }
+        sf.score += score[k];
+    }
+    return 0;
+}
+
+int yt_batch_finish(void* h, char** out_text, int64_t* out_len,
+                    int64_t* seed_matches, int64_t* records) {
+    using namespace yp;
+    BatchCtx& c = *(BatchCtx*)h;
+    staged_run(c, c.n_reads, [&c](int64_t i) { staged_phase3(c, i); });
+    size_t total = 0;
+    int64_t seed_sum = 0, rec_sum = 0;
+    for (ReadSlot& slot : c.slots) {
+        total += slot.out.size();
+        seed_sum += slot.seed_matches;
+        rec_sum += (int64_t)slot.st.clumps.size();
+    }
+    char* buf = (char*)malloc(total ? total : 1);
+    if (!buf) return -1;
+    size_t pos = 0;
+    for (ReadSlot& slot : c.slots) {
+        memcpy(buf + pos, slot.out.data(), slot.out.size());
+        pos += slot.out.size();
+    }
+    *out_text = buf;
+    *out_len = (int64_t)total;
+    if (seed_matches) *seed_matches = seed_sum;
+    if (records) *records = rec_sum;
+    return 0;
+}
+
+void yt_batch_free(void* h) {
+    delete (yp::BatchCtx*)h;
 }
 
 }  // extern "C"
