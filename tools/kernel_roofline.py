@@ -1,0 +1,166 @@
+#!/usr/bin/env python3
+"""Empirical roofline for the Pallas extension kernel (VERDICT r2 #2).
+
+The 1-byte packed backtrack (commit 6ede30f) voided the old
+"output-bandwidth-bound, 5 B/cell" claim; this tool measures, on the
+attached device, the three quantities that decide the new bound:
+
+  1. the extension kernel's cells/s (device-resident distinct inputs,
+     same protocol as bench.py);
+  2. an int32 VPU lane-op rate probe: a jit'd dependent chain of
+     add/mul/select/compare ops shaped like the kernel's cell work;
+  3. an HBM store-bandwidth probe (int8 writes, the backtrack stream).
+
+and prints one JSON line with the measured rates and the implied
+per-cell budget: ops/cell the VPU could afford at the measured cells/s
+vs the kernel's static op count, and backtrack bytes/s vs HBM.
+
+Run on TPU (default env) or CPU (JAX_PLATFORMS=cpu, numbers meaningless
+for the roofline but the harness still works).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _time_best(fn, args_list, windows=5):
+    for a in args_list[:1]:
+        fn(a)
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.time()
+        for a in args_list:
+            r = fn(a)
+        jax_block(r)
+        best = min(best, (time.time() - t0) / len(args_list))
+    return best
+
+
+def jax_block(x):
+    import jax
+    jax.tree_util.tree_map(
+        lambda l: l.block_until_ready() if hasattr(l, "block_until_ready")
+        else l, x)
+
+
+def bench_ext_kernel():
+    """Extension kernel cells/s at the bench.py shape (4096 x 128bp)."""
+    from yaha_tpu.ops import sw_pallas
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    tiles, ql = 4, 128
+    n = sw_pallas.TILE * tiles
+    bw2 = 10
+    q = rng.integers(0, 4, (n, ql)).astype(np.uint8)
+    qlens = np.full(n, ql, np.int32)
+    rl = ql + 2 * bw2
+    r = np.zeros((n, rl), np.uint8)
+    r[:, :ql] = q
+    m = rng.random((n, ql)) < 0.1
+    r[:, :ql][m] = rng.integers(0, 4, int(m.sum()))
+    rlens = qlens + bw2
+    kw = dict(band_width=5, go=5, ge=2, rc=3, ms=1, max_gap=50,
+              max_intron=50, x_cutoff=25)
+    arg_sets = []
+    for s in range(8):
+        q2 = q.copy()
+        q2[:, 0] = (q2[:, 0] + s) % 4
+        arg_sets.append(tuple(jnp.asarray(x)
+                              for x in (q2, qlens, r, rlens)))
+    fn = lambda a: sw_pallas.extension_forward_pallas(*a, **kw)
+    dt = _time_best(fn, arg_sets)
+    w = 21
+    cells = n * ql * w
+    bt_bytes = n * (ql + 1) * w      # 1 B/cell backtrack stream
+    return cells / dt, bt_bytes / dt, n, ql, w
+
+
+def bench_vpu_int32():
+    """Dependent-chain int32 lane-op rate: 8 ops per iteration (add,
+    mul, two compares folded to selects, two selects, max, sub) on a
+    [K, 8, 128] block — the kernel's cell-work mix, serialized like the
+    kernel's in-row dependency."""
+    import jax
+    import jax.numpy as jnp
+
+    K = 64          # independent lanes-blocks to fill the pipeline
+    ITERS = 256     # dependent chain length
+    OPS = 8
+
+    @jax.jit
+    def chain(x, y):
+        def body(i, carry):
+            x, y = carry
+            a = x + y
+            b = a * 3
+            c = jnp.where(b > x, b, x)
+            d = jnp.where(c >= y, c - y, c)
+            e = jnp.maximum(d, x)
+            f = e + 1
+            return (f, jnp.where(f > y, y, f))
+        x, y = jax.lax.fori_loop(0, ITERS, body, (x, y))
+        return x + y
+
+    rng = np.random.default_rng(3)
+    args = []
+    for s in range(6):
+        x = jnp.asarray(rng.integers(0, 100, (K, 8, 128), np.int32))
+        y = jnp.asarray(rng.integers(1, 100, (K, 8, 128), np.int32))
+        args.append((x, y))
+    dt = _time_best(lambda a: chain(*a), args)
+    lane_ops = K * 8 * 128 * ITERS * OPS
+    return lane_ops / dt
+
+
+def bench_hbm_store():
+    """int8 store bandwidth: y = x ^ 1 over 256 MB (reads+writes HBM)."""
+    import jax
+    import jax.numpy as jnp
+
+    NB = 256 << 20
+
+    @jax.jit
+    def f(x):
+        return x ^ 1
+
+    rng = np.random.default_rng(5)
+    args = [jnp.asarray(rng.integers(0, 127, NB, np.int8))
+            for _ in range(3)]
+    dt = _time_best(f, args, windows=3)
+    return 2 * NB / dt            # read + write
+
+
+def main():
+    import jax
+    plat = jax.devices()[0].platform
+    cells_s, bt_bytes_s, n, ql, w = bench_ext_kernel()
+    vpu_ops_s = bench_vpu_int32()
+    hbm_bytes_s = bench_hbm_store()
+    # Static per-cell vector-op count of _ext_kernel.col_step, counted
+    # from the source (arithmetic + compare + select + store ops on
+    # [8,128] tiles): ~55 before compiler fusion.
+    OPS_PER_CELL = 55
+    out = {
+        "platform": plat,
+        "ext_kernel_gcells_s": round(cells_s / 1e9, 2),
+        "ext_bt_stream_gb_s": round(bt_bytes_s / 1e9, 2),
+        "vpu_int32_glaneops_s": round(vpu_ops_s / 1e9, 1),
+        "hbm_int8_rw_gb_s": round(hbm_bytes_s / 1e9, 1),
+        "shape": "%dx%dbp w=%d" % (n, ql, w),
+        # Implied budget: lane-ops the VPU delivers per computed cell at
+        # the measured rates, vs the kernel's static op count.
+        "vpu_ops_per_cell_available": round(vpu_ops_s / cells_s, 1),
+        "static_ops_per_cell": OPS_PER_CELL,
+        "bt_stream_fraction_of_hbm": round(bt_bytes_s / hbm_bytes_s, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

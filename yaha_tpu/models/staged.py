@@ -36,6 +36,12 @@ _u32p = ct.POINTER(ct.c_uint32)
 
 FMT_NATIVE, FMT_EOIDC, FMT_PACKED, FMT_PACKED_BAND = 0, 1, 2, 3
 
+# Largest device problem batch per launch: buckets beyond this split
+# into fixed-shape slices (so arbitrarily large chunks reuse ONE
+# compiled program instead of growing the pow2 tier ladder), and the
+# backtrack-plane d2h transfer stays bounded per launch.
+MAX_DEVICE_BATCH = 16384
+
 
 def _sig(lib):
     if getattr(lib, "_staged_sig_done", False):
@@ -138,7 +144,10 @@ class StagedAligner:
         t0 = time.time()
         if self.backend == "pallas" and wband <= 512 and wband < rg + 1:
             from ..ops import sw_pallas
-            pad = (-n) % sw_pallas.TILE
+            # Pow2 tile tiers: the pallas grid's tile count is a
+            # compiled dimension, so unpadded batches would recompile
+            # per chunk (minutes each through a remote-TPU link).
+            pad = _pow2(n, sw_pallas.TILE) - n
             out = sw_pallas.anchored_forward_pallas_banded(
                 np.pad(qa, ((0, pad), (0, 0))), np.pad(qlens, (0, pad)),
                 np.pad(ra, ((0, pad), (0, 0))), np.pad(rlens, (0, pad)),
@@ -153,7 +162,10 @@ class StagedAligner:
                     wband, score)
         if self.backend == "pallas" and rg <= 512:
             from ..ops import sw_pallas
-            pad = (-n) % sw_pallas.TILE
+            # Pow2 tile tiers: the pallas grid's tile count is a
+            # compiled dimension, so unpadded batches would recompile
+            # per chunk (minutes each through a remote-TPU link).
+            pad = _pow2(n, sw_pallas.TILE) - n
             out = sw_pallas.anchored_forward_pallas(
                 np.pad(qa, ((0, pad), (0, 0))), np.pad(qlens, (0, pad)),
                 np.pad(ra, ((0, pad), (0, 0))), np.pad(rlens, (0, pad)),
@@ -204,7 +216,10 @@ class StagedAligner:
         t0 = time.time()
         if self.backend == "pallas":
             from ..ops import sw_pallas
-            pad = (-n) % sw_pallas.TILE
+            # Pow2 tile tiers: the pallas grid's tile count is a
+            # compiled dimension, so unpadded batches would recompile
+            # per chunk (minutes each through a remote-TPU link).
+            pad = _pow2(n, sw_pallas.TILE) - n
             out = sw_pallas.extension_forward_pallas(
                 np.pad(qa, ((0, pad), (0, 0))), np.pad(qlens, (0, pad)),
                 np.pad(ra, ((0, pad), (0, 0)), constant_values=255),
@@ -267,28 +282,29 @@ class StagedAligner:
         rb = _pow2_arr(rlen)
         keys = (qb << 32) | rb
         for key in np.unique(keys):
-            idx = np.ascontiguousarray(np.nonzero(keys == key)[0]
-                                       .astype(np.int64))
-            m = len(idx)
+            bidx = np.nonzero(keys == key)[0].astype(np.int64)
             qg = int(key >> 32)
             rg = int(key & 0xFFFFFFFF)
-            qa = np.zeros((m, qg), np.uint8)
-            ra = np.zeros((m, rg), np.uint8)
-            lib.yt_batch_gap_fetch(ctx, m, _p64(idx), _pu8(qa), qg,
-                                   _pu8(ra), rg)
-            ql_b = qlen[idx].astype(np.int64)
-            rl_b = rlen[idx].astype(np.int64)
-            lb_b = lbw[idx].astype(np.int64)
-            rb_b = rbw[idx].astype(np.int64)
-            self.stats["gap_cells"] += int(
-                (np.minimum(lb_b + rb_b + 1, rl_b + 1) * ql_b).sum())
-            fmt, plane, idc, pstride, rstride, score = \
-                self._run_gap_bucket(qa, ql_b, ra, rl_b, lb_b, rb_b)
-            lib.yt_batch_gap_apply(
-                ctx, fmt, m, _p64(idx),
-                plane.ctypes.data_as(ct.c_void_p),
-                _p32(idc) if idc is not None else None,
-                pstride, rstride, _p32(score))
+            for lo in range(0, len(bidx), MAX_DEVICE_BATCH):
+                idx = np.ascontiguousarray(bidx[lo:lo + MAX_DEVICE_BATCH])
+                m = len(idx)
+                qa = np.zeros((m, qg), np.uint8)
+                ra = np.zeros((m, rg), np.uint8)
+                lib.yt_batch_gap_fetch(ctx, m, _p64(idx), _pu8(qa), qg,
+                                       _pu8(ra), rg)
+                ql_b = qlen[idx].astype(np.int64)
+                rl_b = rlen[idx].astype(np.int64)
+                lb_b = lbw[idx].astype(np.int64)
+                rb_b = rbw[idx].astype(np.int64)
+                self.stats["gap_cells"] += int(
+                    (np.minimum(lb_b + rb_b + 1, rl_b + 1) * ql_b).sum())
+                fmt, plane, idc, pstride, rstride, score = \
+                    self._run_gap_bucket(qa, ql_b, ra, rl_b, lb_b, rb_b)
+                lib.yt_batch_gap_apply(
+                    ctx, fmt, m, _p64(idx),
+                    plane.ctypes.data_as(ct.c_void_p),
+                    _p32(idc) if idc is not None else None,
+                    pstride, rstride, _p32(score))
 
     def _ext_phase(self, ctx):
         lib = self.lib
@@ -307,25 +323,28 @@ class StagedAligner:
         bw2 = 2 * self.aa.band_width
         qb = _pow2_arr(qlen)
         for key in np.unique(qb):
-            idx = np.ascontiguousarray(np.nonzero(qb == key)[0]
-                                       .astype(np.int64))
-            m = len(idx)
+            bidx = np.nonzero(qb == key)[0].astype(np.int64)
             qg = int(key)
             rg = qg + 2 * bw2
-            qa = np.zeros((m, qg), np.uint8)
-            ra = np.full((m, rg), 255, np.uint8)
-            lib.yt_batch_ext_fetch(ctx, m, _p64(idx), _pu8(qa), qg,
-                                   _pu8(ra), rg)
-            ql_b = qlen[idx].astype(np.int64)
-            rl_b = rlen[idx].astype(np.int64)
-            self.stats["ext_cells"] += int((ql_b * (2 * bw2 + 1)).sum())
-            fmt, plane, idc, pstride, rstride, maxi, maxj, score = \
-                self._run_ext_bucket(qa, ql_b, ra, rl_b)
-            lib.yt_batch_ext_apply(
-                ctx, fmt, m, _p64(idx),
-                plane.ctypes.data_as(ct.c_void_p),
-                _p32(idc) if idc is not None else None,
-                pstride, rstride, _p32(maxi), _p32(maxj), _p32(score))
+            for lo in range(0, len(bidx), MAX_DEVICE_BATCH):
+                idx = np.ascontiguousarray(bidx[lo:lo + MAX_DEVICE_BATCH])
+                m = len(idx)
+                qa = np.zeros((m, qg), np.uint8)
+                ra = np.full((m, rg), 255, np.uint8)
+                lib.yt_batch_ext_fetch(ctx, m, _p64(idx), _pu8(qa), qg,
+                                       _pu8(ra), rg)
+                ql_b = qlen[idx].astype(np.int64)
+                rl_b = rlen[idx].astype(np.int64)
+                self.stats["ext_cells"] += int(
+                    (ql_b * (2 * bw2 + 1)).sum())
+                fmt, plane, idc, pstride, rstride, maxi, maxj, score = \
+                    self._run_ext_bucket(qa, ql_b, ra, rl_b)
+                lib.yt_batch_ext_apply(
+                    ctx, fmt, m, _p64(idx),
+                    plane.ctypes.data_as(ct.c_void_p),
+                    _p32(idc) if idc is not None else None,
+                    pstride, rstride, _p32(maxi), _p32(maxj),
+                    _p32(score))
 
     # ---- driver ----
 
