@@ -28,10 +28,13 @@ def test_device_frontend_small_parity(tmp_path):
             out.write(f.read())
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
+    # --frontend device pins the device front end (batch-xla defaults
+    # to the staged native frontend since round 3).
     r = subprocess.run(
         [sys.executable, "-m", "yaha_tpu.cli", "-x",
          "testgen.X11_01_65525S", "-q", "readsF_edge.fasta",
-         "--engine", "batch-xla", "-osh", "F_edge.sam"],
+         "--engine", "batch-xla", "--frontend", "device",
+         "-osh", "F_edge.sam"],
         cwd=tmp_path, env=env, capture_output=True, timeout=2400)
     assert r.returncode == 0, r.stderr.decode()[-2000:]
     with open(os.path.join(tmp_path, "F_edge.sam"), "rb") as f:
@@ -90,3 +93,65 @@ def test_device_frontend_module_direct():
     exp.sort()
     got = sorted(zip(diag.tolist(), qo.tolist()))
     assert got == exp
+
+
+def test_device_frontend_phantom_injection_parity():
+    """Reads whose seed runs all wrap (ro < qo) stay on the device path:
+    the device flags the wrapped windows and the exact phantom hits
+    (QueryMatch.c:57-69) are injected host-side — byte parity with the
+    host front end, zero fallbacks."""
+    import gzip
+    import numpy as np
+    from conftest import GOLD
+    from yaha_tpu.config import AlignmentArgs
+    from yaha_tpu.io import nib2, fasta, index_io
+    from yaha_tpu.models.aligner import BatchAligner
+
+    with open(os.path.join(GOLD, "testgen.nib2"), "rb") as f:
+        genome = nib2.load(f.read())
+    with gzip.open(os.path.join(GOLD, "testgen.X11_01_65525S.gz")) as f:
+        raw = f.read()
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".X11_01_65525S",
+                                     delete=False) as tf:
+        tf.write(raw)
+        xname = tf.name
+    index = index_io.load_index(xname)
+    os.unlink(xname)
+
+    # Reads = random prefix + the genome start: suffix windows map to
+    # reference offsets < their query offsets, so unique k-mers near the
+    # genome start produce all-wrapped runs.
+    rng = np.random.RandomState(3)
+    start = genome.codes[:90]                    # 4-bit codes (T=0..G=3)
+    reads = []
+    for k in range(4):
+        pre = rng.randint(0, 4, 50).astype(np.uint8)
+        chars = b"".join(b"TCAG"[c:c + 1]
+                         for c in np.concatenate([pre, start]))
+        reads.append(b">ph%d\n%s\n" % (k, chars))
+    qdata = b"".join(reads)
+
+    aa = AlignmentArgs()
+    aa.word_len = index.word_len
+    aa.qfile_name = "ph.fa"
+    aa.xfile_name = "x"
+    aa.ofile_name = "o.sam"
+    aa.post_process(True)
+    aa.max_hits = min(aa.max_hits, index.max_hits)
+    records = list(fasta.read_queries(qdata, aa))
+
+    host_al = BatchAligner(aa, genome, index, backend="numpy")
+    out_host = host_al.align_batch(records)
+    dev_al = BatchAligner(aa, genome, index, backend="numpy",
+                          frontend="device")
+    from yaha_tpu.core.pipeline import QueryState
+    probe = [QueryState(aa, genome, index) for _ in records]
+    for qs, rec in zip(probe, records):
+        qs.set_query(rec)
+    n_fallback = dev_al.frontend.process_batch(probe)
+    assert n_fallback == 0, "phantom reads must not fall back"
+    assert dev_al.frontend.n_phantom_injected > 0, \
+        "expected wrapped runs on these reads"
+    out_dev = dev_al.align_batch(records)
+    assert out_dev == out_host

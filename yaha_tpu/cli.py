@@ -468,17 +468,18 @@ def _do_query(aa):
         _run_native_engine(aa, genome, index, align_fn=_align,
                            dp_stats=aligner.stats)
         return
-    with open(aa.qfile_name, "rb") as f:
-        qdata = f.read()
     if engine != "oracle":
-        _run_batch_engine(aa, genome, index, qdata, engine)
+        _run_batch_engine(aa, genome, index, engine)
     else:
+        # Streaming oracle: bounded-RSS chunks (Query.c:102-228 analog).
         from .core import pipeline
+        chunks = _iter_query_chunks(aa.qfile_name)
         if aa.ofile_name in ("stdout", "-"):
-            pipeline.run_query_file(aa, genome, index, qdata, sys.stdout)
+            pipeline.run_query_chunks(aa, genome, index, chunks,
+                                      sys.stdout)
         else:
             with open(aa.ofile_name, "w") as out:
-                pipeline.run_query_file(aa, genome, index, qdata, out)
+                pipeline.run_query_chunks(aa, genome, index, chunks, out)
 
 
 def _find_chunk_cut(data, fastq):
@@ -767,13 +768,15 @@ def _run_native_engine(aa, genome, index, align_fn=None, dp_stats=None):
                 os.unlink(cursor_path)
 
 
-def _run_batch_engine(aa, genome, index, qdata, engine):
+def _run_batch_engine(aa, genome, index, engine):
     """Batched pipeline with per-batch checkpointed output.
 
     Failure-recovery analog (SURVEY.md section 5): output is flushed per
     batch and a sidecar cursor records the number of fully-emitted reads;
     --resume seeks past completed batches so a preempted run continues at
-    the last flushed batch.
+    the last flushed batch.  Input streams in bounded chunks
+    (_iter_query_chunks) except under multi-host sharding, which needs
+    the global read count up front.
     """
     import os
     from .io import fasta, sam
@@ -795,12 +798,16 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
     frontend = ("device" if engine in ("batch-xla", "batch-pallas")
                 else "host")
     batch_size = getattr(aa, "batch_size", 256)
-    aa.fastq = qdata[:1] == b"@"
-    records = list(fasta.read_queries(qdata, aa))
+    with open(aa.qfile_name, "rb") as f:
+        aa.fastq = f.read(1) == b"@"
+    records = None
     merged_ofile = aa.ofile_name
     if multi_host:
         import jax
         from .parallel import distributed as dist
+        with open(aa.qfile_name, "rb") as f:
+            qdata = f.read()
+        records = list(fasta.read_queries(qdata, aa))
         lo, hi = dist.host_read_range(len(records))
         records = records[lo:hi]
         aa.ofile_name = dist.part_file_name(merged_ofile)
@@ -917,55 +924,84 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
 
     writer = threading.Thread(target=_writer, daemon=True)
     writer.start()
+    def _record_batches():
+        """(n_done, batch) pairs past the resume point.  Multi-host
+        consumes the in-memory shard; otherwise chunks stream from disk
+        at bounded RSS (constant for multi-GB inputs)."""
+        if records is not None:
+            for lo in range(start_read, len(records), batch_size):
+                b = records[lo:lo + batch_size]
+                yield lo + len(b), b
+            return
+        done = 0
+        for chunk, fastq in _iter_query_chunks(aa.qfile_name):
+            aa.fastq = fastq
+            recs = list(fasta.read_queries(chunk, aa))
+            stopped = getattr(aa, "stopped", False)
+            i = 0
+            while i < len(recs):
+                b = recs[i:i + batch_size]
+                lo = done
+                done += len(b)
+                i += batch_size
+                if done <= start_read:
+                    continue   # resume: batch fully emitted already
+                if lo < start_read:
+                    b = b[start_read - lo:]
+                yield done, b
+            if stopped:
+                # Zero-length record terminates the run (Query.c:306).
+                return
+
+    completed = False
     try:
         if start_read == 0 and not multi_host:
             emit_q.put((sam.file_header(aa, genome), None))
-        if pool is not None:
-            # Streaming dispatch: every batch_size slice is submitted up
-            # front; results are consumed strictly in submission order, so
+        if pool is not None or tpool is not None:
+            # Streaming dispatch with a bounded in-flight window:
+            # results are consumed strictly in submission order, so
             # output ordering and cursor semantics match the sequential
             # path while workers run continuously with no round barriers
             # (the reference's locked-input work-stealing loop,
             # Query.c:457-466, reconstructed with ordered output).
-            futures = []
-            for lo in range(start_read, len(records), batch_size):
-                futures.append((lo + len(records[lo:lo + batch_size]),
-                                pool.submit(_worker_align,
-                                            records[lo:lo + batch_size])))
-            for n_done, fut in futures:
+            import collections
+            if pool is not None:
+                submit = lambda b: pool.submit(_worker_align, b)
+            else:
+                submit = lambda b: tpool.submit(aligner.align_batch, b)
+            pending = collections.deque()
+            max_pending = max(4, 2 * aa.num_threads)
+
+            def _drain_one():
+                nonlocal n
+                n_done, fut = pending.popleft()
                 with timers.stage("align batch"):
                     outs = fut.result()
                 if emit_err:
                     raise emit_err[0]
                 n = n_done
                 emit_q.put(("".join(outs), n))
-        elif tpool is not None:
-            futures = []
-            for lo in range(start_read, len(records), batch_size):
-                batch = records[lo:lo + batch_size]
-                futures.append((lo + len(batch),
-                                tpool.submit(aligner.align_batch, batch)))
-            for n_done, fut in futures:
-                with timers.stage("align batch"):
-                    outs = fut.result()
-                if emit_err:
-                    raise emit_err[0]
-                n = n_done
-                emit_q.put(("".join(outs), n))
+
+            for n_done, batch in _record_batches():
+                pending.append((n_done, submit(batch)))
+                if len(pending) >= max_pending:
+                    _drain_one()
+            while pending:
+                _drain_one()
         else:
             with device_trace(trace_dir):
-                for lo in range(start_read, len(records), batch_size):
-                    batch = records[lo:lo + batch_size]
+                for n_done, batch in _record_batches():
                     with timers.stage("align batch"):
                         outs = aligner.align_batch(batch)
                     if emit_err:
                         raise emit_err[0]
-                    n = lo + len(batch)
+                    n = n_done
                     emit_q.put(("".join(outs), n))
         emit_q.put(None)
         writer.join()
         if emit_err:
             raise emit_err[0]
+        completed = True
         if aa.verbose:
             timers.print_report()
             total_s = sum(timers.totals.values())
@@ -986,7 +1022,7 @@ def _run_batch_engine(aa, genome, index, qdata, engine):
             tpool.shutdown(wait=False, cancel_futures=True)
         if out is not sys.stdout:
             out.close()
-            if os.path.exists(cursor_path) and n >= len(records):
+            if completed and os.path.exists(cursor_path):
                 os.unlink(cursor_path)
     if multi_host:
         # Cross-host barrier (a tiny psum over the global mesh), then

@@ -166,6 +166,30 @@ def seed_hits(query_codes: np.ndarray, index, max_hits: int):
     return offsets, so[h[offsets]], counts[offsets]
 
 
+def phantom_hits(offsets, so_offsets, counts, roa, wrapped_idx):
+    """The reference phantom-hit quirk (QueryMatch.c:57-69): for each
+    window k in `wrapped_idx` (its whole ROA run has ro < qo), the heap
+    pre-seed loop reads PAST the run into the next k-mer's ROA entries,
+    pushing each as a hit for this window, until one with ro >= qo
+    (inclusive).  Returns (extra_qo, extra_ro) lists.  Shared by the
+    host path (find_fragments) and the device front end's per-window
+    injection (models/frontend.py)."""
+    roa_len = len(roa)
+    extra_qo = []
+    extra_ro = []
+    for k in wrapped_idx:
+        off = int(offsets[k])
+        j = int(so_offsets[k] + counts[k])
+        while j < roa_len:
+            v = int(roa[j])
+            extra_qo.append(off)
+            extra_ro.append(v)
+            if v >= off:
+                break
+            j += 1
+    return extra_qo, extra_ro
+
+
 def find_fragments(offsets, so_offsets, counts, roa, word_len):
     """Phases of findFragmentsSort (QueryMatch.c:52-121) as sort+coalesce.
 
@@ -187,22 +211,11 @@ def find_fragments(offsets, so_offsets, counts, roa, word_len):
     # of an offset's run wraps (ro < qo), it reads past the run into the
     # next k-mer's ROA entries, injecting phantom hits until one with
     # ro >= qo.  SAM parity requires reproducing those phantoms.
-    roa_len = len(roa)
     run_any_ok = np.maximum.reduceat(
         (ro >= qo).astype(np.int8), run_starts) if total0 else None
     all_wrapped = np.flatnonzero(run_any_ok == 0) if total0 else []
-    extra_qo = []
-    extra_ro = []
-    for k in all_wrapped:
-        off = int(offsets[k])
-        j = int(so_offsets[k] + counts[k])
-        while j < roa_len:
-            v = int(roa[j])
-            extra_qo.append(off)
-            extra_ro.append(v)
-            if v >= off:
-                break
-            j += 1
+    extra_qo, extra_ro = phantom_hits(offsets, so_offsets, counts, roa,
+                                      all_wrapped)
     if extra_qo:
         qo = np.concatenate([qo, np.array(extra_qo, dtype=np.int64)])
         ro = np.concatenate([ro, np.array(extra_ro, dtype=np.int64)])

@@ -108,23 +108,36 @@ def align_query(qs: QueryState, rec, stats=None) -> str:
 
 def run_query_file(aa, genome, index, query_data: bytes, out_stream) -> int:
     """processQueryFile equivalent for the host oracle path."""
+    return run_query_chunks(aa, genome, index,
+                            [(query_data, query_data[:1] == b"@")],
+                            out_stream)
+
+
+def run_query_chunks(aa, genome, index, chunks, out_stream) -> int:
+    """Streaming oracle driver: `chunks` yields (bytes, fastq) pieces
+    that start at record boundaries (cli._iter_query_chunks), so a
+    multi-GB FASTQ aligns at bounded RSS — the batched analog of
+    readNextQuery's per-read streaming (Query.c:102-228)."""
     from ..io import fasta
     qs = QueryState(aa, genome, index)
     n = 0
-    records = fasta.read_queries(query_data, aa)
-    # aa.fastq is set by the generator on first use; force it before the
-    # header is written by peeking the first byte directly.
-    aa.fastq = query_data[:1] == b"@"
-    out_stream.write(sam.file_header(aa, genome))
+    header_done = False
     stats = None
     qs_name = getattr(aa, "qs_file_name", None)
     if qs_name:
         stats = open(qs_name, "w")
         stats.write("query\tlen\tseedMatches\talignments\tusec\n")
     try:
-        for rec in records:
-            out_stream.write(align_query(qs, rec, stats=stats))
-            n += 1
+        for query_data, fastq in chunks:
+            aa.fastq = fastq
+            if not header_done:
+                out_stream.write(sam.file_header(aa, genome))
+                header_done = True
+            for rec in fasta.read_queries(query_data, aa):
+                out_stream.write(align_query(qs, rec, stats=stats))
+                n += 1
+            if getattr(aa, "stopped", False):
+                break   # zero-length record ends the run (Query.c:306)
     finally:
         if stats is not None:
             stats.close()

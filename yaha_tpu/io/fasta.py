@@ -46,8 +46,13 @@ def _make_record(qid_raw: bytes, seq: bytes, qual: bytes | None):
 
 
 def read_queries(data: bytes, aa):
-    """Yield QueryRecords; sets aa.fastq from the first byte."""
+    """Yield QueryRecords; sets aa.fastq from the first byte.
+
+    Sets aa.stopped = True when a zero-length record terminated the run
+    (Query.c:306) so streaming callers stop feeding further chunks.
+    """
     aa.fastq = data[:1] == b"@"
+    aa.stopped = False
     if aa.fastq:
         yield from _read_fastq(data, aa)
     else:
@@ -81,6 +86,7 @@ def _read_fasta(data: bytes, aa):
             continue
         if len(seq) == 0:
             # Reference: zero-length read ends processing (Query.c:306).
+            aa.stopped = True
             return
         if len(seq) < aa.word_len:
             _warn("Query length must be at least wordlen bases long. "
@@ -142,6 +148,7 @@ def _read_fastq(data: bytes, aa):
         if fail:
             continue
         if len(seq) == 0:
+            aa.stopped = True
             return
         if len(seq) < aa.word_len:
             _warn("Query length must be at least wordlen bases long. "

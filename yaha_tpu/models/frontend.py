@@ -13,11 +13,14 @@ stages (SURVEY.md section 2.3 device-kernel list):
      scalar logic of GraphPath.cpp:272-292 / QueryMatch.c:161-215) stays
      on host between rounds.
 
-Reads that need the host-emulated phantom-hit quirk (QueryMatch.c:57-69),
-overflow the hit capacity, or contain oversized regions fall back to the
-host path read-by-read; everything else never touches the host seed loop.
-Emission order is replayed per read exactly as the sequential host path
-would produce it, so byte parity is preserved end-to-end.
+Reads that need the phantom-hit quirk (QueryMatch.c:57-69) stay on the
+device path: the device flags each wrapped seed run and the exact
+phantom hits are injected per flagged window host-side
+(_inject_phantoms).  Hit-capacity overflow retries a larger fixed
+capacity tier (sharded path) before falling back; only reads exceeding
+the top tier take the host seed loop.  Emission order is replayed per
+read exactly as the sequential host path would produce it, so byte
+parity is preserved end-to-end.
 """
 from __future__ import annotations
 
@@ -86,6 +89,27 @@ class _Region:
         self.clumps.append(clump)
 
 
+class _SeedRows:
+    """Per-row view over the tiered seed-expansion outputs: rows that
+    overflowed the first capacity tier read from the big-tier rerun."""
+
+    def __init__(self, out1, out2):
+        self.out1 = out1
+        self.out2 = out2
+
+    def _o(self, r):
+        if self.out2 is not None and self.out1["overflow"][r]:
+            return self.out2
+        return self.out1
+
+    def row(self, r):
+        o = self._o(r)
+        return o["diag"][r], o["qo"][r], int(o["total"][r]), o["wrapped"][r]
+
+    def overflow(self, r):
+        return bool(self._o(r)["overflow"][r])
+
+
 class DeviceFrontEnd:
     """Batched device seed->fragment->chain for the TPU engines."""
 
@@ -98,6 +122,9 @@ class DeviceFrontEnd:
         self.word_len = index.word_len
         self.mesh = mesh
         self.sidx = None
+        self.collective_stats = {"all_gather_calls": 0,
+                                 "all_gather_bytes": 0}
+        self.n_phantom_injected = 0
         if mesh is not None:
             # TP-analog: SO + ROA hash-range sharded across `model`
             # (parallel/mesh.py ShardedIndex), lookups merged with an
@@ -115,7 +142,14 @@ class DeviceFrontEnd:
 
     # ---- stage 1+2: device seed scan and hit expansion ----
 
+    CAP_TIERS = (1024, 8192)
+
     def _seed_batch(self, codes_pad, lengths):
+        """Returns (_SeedRows accessor, seed_totals).  Capacity runs in
+        two fixed tiers (every distinct capacity is a separate compiled
+        program; cold compiles cost minutes on remote links): the mesh
+        path retries only-if-needed at the big tier, the single-device
+        path picks the tier from exact totals up front."""
         from ..ops import seeds_jax
         import jax.numpy as jnp
         aa = self.aa
@@ -132,10 +166,21 @@ class DeviceFrontEnd:
             from ..parallel.mesh import sharded_expand_sort
             out = sharded_expand_sort(
                 self.mesh, hashes, clean, self.sidx,
-                max_hits=int(aa.max_hits), capacity=1024)
-            seed_totals = np.asarray(out["total"])
-            return ({k: np.asarray(v) for k, v in out.items()},
-                    seed_totals)
+                max_hits=int(aa.max_hits), capacity=self.CAP_TIERS[0])
+            out = {k: np.asarray(v) for k, v in out.items()}
+            self._account_collectives(out["diag"].shape[0],
+                                      self.CAP_TIERS[0])
+            out2 = None
+            if out["overflow"].any():
+                # Tier retry keeps overflow reads on the sharded path.
+                out2 = sharded_expand_sort(
+                    self.mesh, hashes, clean, self.sidx,
+                    max_hits=int(aa.max_hits),
+                    capacity=self.CAP_TIERS[1])
+                out2 = {k: np.asarray(v) for k, v in out2.items()}
+                self._account_collectives(out["diag"].shape[0],
+                                          self.CAP_TIERS[1])
+            return _SeedRows(out, out2), np.asarray(out["total"])
         hashes, clean = seeds_jax.batched_seed_hashes(
             jnp.asarray(codes_pad), jnp.asarray(lengths),
             word_len=self.word_len)
@@ -143,15 +188,61 @@ class DeviceFrontEnd:
             hashes, clean, self.so_dev, aa.max_hits)
         totals = np.asarray(totals)
         cap = int(max(1, totals.max() if len(totals) else 1))
-        # Two capacity tiers only: every distinct capacity is a separate
-        # compiled program, and on remote-TPU links a cold compile costs
-        # minutes — two stable shapes keep the whole run warm.
-        cap = 1024 if cap <= 1024 else 8192
+        cap = (self.CAP_TIERS[0] if cap <= self.CAP_TIERS[0]
+               else self.CAP_TIERS[1])
         out = seeds_jax.expand_sort_hits_device(
             hashes, clean, self.so_dev, self.roa_dev,
             max_hits=int(aa.max_hits), capacity=cap)
-        return ({k: np.asarray(v) for k, v in out.items()},
-                np.asarray(seed_totals))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        return _SeedRows(out, None), np.asarray(seed_totals)
+
+    def _account_collectives(self, rows, capacity):
+        """all_gather budget of one sharded seed call (diag + qo planes,
+        [model, rows, capacity] x 4 B each) — reported by the multichip
+        dryrun and scaling bench."""
+        m = self.mesh.shape["model"] if self.mesh is not None else 1
+        self.collective_stats["all_gather_calls"] += 1
+        self.collective_stats["all_gather_bytes"] += 2 * 4 * m * rows * \
+            capacity
+
+    # ---- phantom-hit injection (QueryMatch.c:57-69 on the device path) --
+
+    def _inject_phantoms(self, codes, wrapped_row, diag_row, qo_row,
+                         total):
+        """Exact per-window phantom-hit emulation for device-flagged
+        wrapped runs: recompute the flagged windows' SO runs host-side,
+        walk past each run (core/frags.phantom_hits), merge the extra
+        hits into the device-sorted (diag, qo) row."""
+        from ..core.frags import phantom_hits
+        wl = self.word_len
+        offs = np.flatnonzero(wrapped_row)
+        index = self.index
+        so = getattr(index, "_so64", None)
+        if so is None:
+            so = np.asarray(index.starting_offs, dtype=np.int64)
+            try:
+                index._so64 = so
+            except AttributeError:
+                pass
+        c = codes.astype(np.int64)
+        h = np.zeros(len(offs), np.int64)
+        for t in range(wl):
+            h = (h << 2) | c[offs + t]
+        so_offs = so[h]
+        counts = so[h + 1] - so[h]
+        extra_qo, extra_ro = phantom_hits(
+            offs, so_offs, counts, index.roa, range(len(offs)))
+        if not extra_qo:
+            return diag_row, qo_row, total
+        qo = np.concatenate([qo_row[:total].astype(np.int64),
+                             np.asarray(extra_qo, np.int64)])
+        diag = np.concatenate(
+            [diag_row[:total].astype(np.int64),
+             (np.asarray(extra_ro, np.int64) -
+              np.asarray(extra_qo, np.int64)) & M32])
+        order = np.lexsort((qo, diag))
+        return (diag[order].astype(np.uint32),
+                qo[order].astype(np.int32), len(qo))
 
     # ---- stage 3: fragment coalescing (vectorized host) ----
 
@@ -278,13 +369,14 @@ class DeviceFrontEnd:
             codes[2 * i, :qs.query_len] = qs.forward_codes
             codes[2 * i + 1, :qs.query_len] = qs.reverse_codes
             lengths[2 * i] = lengths[2 * i + 1] = qs.query_len
-        out, seed_totals = self._seed_batch(codes, lengths)
+        rows, seed_totals = self._seed_batch(codes, lengths)
 
+        # Overflow of the TOP capacity tier is the only remaining host
+        # fallback; wrapped runs are phantom-injected in place.
         fallback_reads = set()
         for i in range(n_reads):
             for s in (0, 1):
-                row = 2 * i + s
-                if out["overflow"][row] or out["allwrapped"][row]:
+                if rows.overflow(2 * i + s):
                     fallback_reads.add(i)
 
         # Build per-strand fragments and split into regions
@@ -298,8 +390,15 @@ class DeviceFrontEnd:
             order[i] = []
             for s, rev in ((0, False), (1, True)):
                 row = 2 * i + s
-                frags = self._strand_frags(out["diag"][row], out["qo"][row],
-                                           int(out["total"][row]))
+                diag_row, qo_row, total, wrapped_row = rows.row(row)
+                if wrapped_row.any():
+                    codes_s = (qs.reverse_codes if rev
+                               else qs.forward_codes)
+                    diag_row, qo_row, total = self._inject_phantoms(
+                        np.asarray(codes_s), wrapped_row, diag_row,
+                        qo_row, total)
+                    self.n_phantom_injected += 1
+                frags = self._strand_frags(diag_row, qo_row, total)
                 if not frags:
                     continue
                 # Region split by successive-diagonal proximity.

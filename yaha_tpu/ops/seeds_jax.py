@@ -71,11 +71,12 @@ def expand_sort_hits_device(hashes, clean, so, roa, *, max_hits, capacity):
 
     hashes/clean: [B, N] from batched_seed_hashes; so/roa: device uint32.
     Returns dict with diag uint32 [B, C], qo int32 [B, C], total [B],
-    overflow [B] (hits exceed capacity -> host fallback) and allwrapped
-    [B] (some window's run is entirely ro < qo: the reference heap
-    pre-seed then reads past the run -- the phantom-hit quirk,
-    QueryMatch.c:57-69 -- which is host-emulated, so those reads fall
-    back too).
+    overflow [B] (hits exceed capacity -> caller retries a larger
+    capacity tier or falls back) and wrapped [B, N] (window's run is
+    entirely ro < qo: the reference heap pre-seed then reads past the
+    run -- the phantom-hit quirk, QueryMatch.c:57-69; the caller
+    injects the exact phantom hits host-side per flagged window,
+    models/frontend._inject_phantoms) plus allwrapped [B] = any(wrapped).
     """
     b, n = hashes.shape
     so_lo = so[hashes]
@@ -110,14 +111,16 @@ def expand_sort_hits_device(hashes, clean, so, roa, *, max_hits, capacity):
         lambda s, d: jax.ops.segment_max(d, s, num_segments=n,
                                          indices_are_sorted=True))(win_c,
                                                                    ok)
-    allwrapped = jnp.any(kept_mask & (seg_any == 0), axis=1)
+    wrapped = kept_mask & (seg_any == 0)
+    allwrapped = jnp.any(wrapped, axis=1)
 
     diag_s = jnp.where(valid, diag, jnp.uint32(0xFFFFFFFF))
     qo_s = jnp.where(valid, qo, jnp.int32(0x7FFFFFFF))
     diag_sorted, qo_sorted = jax.lax.sort((diag_s, qo_s), num_keys=2,
                                           dimension=1)
     return {"diag": diag_sorted, "qo": qo_sorted, "total": total,
-            "overflow": overflow, "allwrapped": allwrapped}
+            "overflow": overflow, "wrapped": wrapped,
+            "allwrapped": allwrapped}
 
 
 @jax.jit

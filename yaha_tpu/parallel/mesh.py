@@ -141,7 +141,7 @@ def sharded_expand_sort(mesh: Mesh, hashes, clean, sidx: ShardedIndex, *,
         seg_any = jax.vmap(
             lambda s, d: jax.ops.segment_max(
                 d, s, num_segments=n, indices_are_sorted=True))(win_c, ok)
-        allwrapped = jnp.any(kept_mask & (seg_any == 0), axis=1)
+        wrapped = (kept_mask & (seg_any == 0)).astype(jnp.int32)
 
         diag_m = jnp.where(valid, diag, jnp.uint32(0xFFFFFFFF))
         qo_m = jnp.where(valid, qo, jnp.int32(0x7FFFFFFF))
@@ -155,17 +155,20 @@ def sharded_expand_sort(mesh: Mesh, hashes, clean, sidx: ShardedIndex, *,
                                     dimension=1)
         total = jax.lax.psum(total, "model")
         overflow = jax.lax.psum(overflow.astype(jnp.int32), "model") > 0
-        allwrapped = jax.lax.psum(allwrapped.astype(jnp.int32),
-                                  "model") > 0
-        return diag_s, qo_s, total, overflow, allwrapped
+        # Each window is owned by exactly one shard; psum merges the
+        # per-shard wrapped-run flags (the phantom-hit quirk windows,
+        # QueryMatch.c:57-69, handled host-side by the caller).
+        wrapped = jax.lax.psum(wrapped, "model") > 0
+        return diag_s, qo_s, total, overflow, wrapped
 
-    diag, qo, total, overflow, allwrapped = shard_map(
+    diag, qo, total, overflow, wrapped = shard_map(
         kernel, mesh=mesh,
         in_specs=(P("data", None), P("data", None), P("model", None),
                   P("model"), P("model", None)),
         out_specs=(P("data", None), P("data", None), P("data"),
-                   P("data"), P("data")),
+                   P("data"), P("data", None)),
         check_vma=False,
     )(hashes, clean, sidx.so_dev, sidx.lo_dev, sidx.roa_dev)
     return {"diag": diag, "qo": qo, "total": total, "overflow": overflow,
-            "allwrapped": allwrapped}
+            "wrapped": wrapped,
+            "allwrapped": jnp.any(wrapped, axis=1)}
