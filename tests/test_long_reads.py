@@ -83,3 +83,25 @@ def test_long_read_rejected_at_default_cap(tmp_path):
         recs = [l for l in f if not l.startswith("@")]
     assert recs == [], recs
     assert b"exceeds maximum length of 32000" in r.stderr, r.stderr
+
+
+def test_batch_xla_long_read_matches_native(tmp_path):
+    """CP-analog through the device engines (SURVEY.md section 5): the
+    same 105 kb read aligns byte-identically through the staged
+    batch-xla engine (native host phases + device DP batches; extension
+    problems bucket to a 128k-row tier whose banded DP stays linear in
+    read length)."""
+    _stage(tmp_path)
+    r = _run(tmp_path, "-x", "testgen.X11_01_65525S", "-q", "long.fasta",
+             "--engine", "native", "--max-query-length", "150000",
+             "-osh", "long_native.sam")
+    assert r.returncode == 0, r.stderr.decode()[-1500:]
+    r = _run(tmp_path, "-x", "testgen.X11_01_65525S", "-q", "long.fasta",
+             "--engine", "batch-xla", "--max-query-length", "150000",
+             "-osh", "long_xla.sam")
+    assert r.returncode == 0, r.stderr.decode()[-1500:]
+    with open(os.path.join(tmp_path, "long_native.sam"), "rb") as f:
+        native = f.read()
+    with open(os.path.join(tmp_path, "long_xla.sam"), "rb") as f:
+        xla = f.read()
+    assert native == xla

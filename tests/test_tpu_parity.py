@@ -63,3 +63,77 @@ def test_batch_pallas_on_tpu_parity(tmp_path):
     with open(os.path.join(GOLD, "A_default.sam"), "rb") as f:
         gold = f.read()
     assert mine == gold
+
+
+def test_device_frontend_on_tpu_parity(tmp_path):
+    """--frontend device pins the device front end (seed->fragment->
+    chain on the chip); byte parity with the golden (VERDICT r3: the
+    staged engine is now the batch-pallas default, so the device
+    front end needs its own on-TPU pin)."""
+    if not _have_tpu():
+        pytest.skip("no TPU attached")
+    shutil.copy(os.path.join(DATA, "readsF_edge.fasta"), tmp_path)
+    shutil.copy(os.path.join(GOLD, "testgen.nib2"), tmp_path)
+    with gzip.open(os.path.join(GOLD, "testgen.X11_01_65525S.gz")) as f:
+        with open(os.path.join(tmp_path, "testgen.X11_01_65525S"),
+                  "wb") as out:
+            out.write(f.read())
+    r = subprocess.run(
+        [sys.executable, "-m", "yaha_tpu.cli", "-x",
+         "testgen.X11_01_65525S", "-q", "readsF_edge.fasta",
+         "--engine", "batch-pallas", "--frontend", "device",
+         "-osh", "F_edge.sam"],
+        cwd=tmp_path, env=_tpu_env(), capture_output=True, timeout=2400)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    with open(os.path.join(tmp_path, "F_edge.sam"), "rb") as f:
+        mine = f.read()
+    with open(os.path.join(GOLD, "F_edge.sam"), "rb") as f:
+        gold = f.read()
+    assert mine == gold
+
+
+def test_anchored_pallas_variants_on_tpu(tmp_path):
+    """Both Pallas anchored (gap-fill) kernels — full-matrix and
+    band-relative — bit-identical on the real chip to the native host
+    DP, including the banded-layout backtrack decode (VERDICT r2 #9)."""
+    if not _have_tpu():
+        pytest.skip("no TPU attached")
+    script = r"""
+import numpy as np
+from yaha_tpu.ops import sw_pallas
+from yaha_tpu.ops import dp_common
+from yaha_tpu.native import host
+
+rng = np.random.default_rng(31)
+n, ql, rl = sw_pallas.TILE, 24, 32
+q = rng.integers(0, 4, (n, ql)).astype(np.uint8)
+r = rng.integers(0, 4, (n, rl)).astype(np.uint8)
+qlens = rng.integers(4, ql + 1, n).astype(np.int64)
+rlens = rng.integers(4, rl + 1, n).astype(np.int64)
+lbw = np.maximum(1, qlens - 1)
+rbw = np.maximum(1, rlens - 1)
+KW = dict(go=5, ge=2, rc=3, ms=1, max_gap=50, max_intron=50)
+ref = host.anchored_forward(q, qlens, r, rlens, lbw, rbw, **KW)
+full = sw_pallas.anchored_forward_pallas(q, qlens, r, rlens, lbw, rbw,
+                                         **KW)
+wband = int((lbw + rbw).max()) + 1
+band = sw_pallas.anchored_forward_pallas_banded(
+    q, qlens, r, rlens, lbw, rbw, wband=wband, **KW)
+assert np.array_equal(np.asarray(full["score"]), ref["score"])
+assert np.array_equal(np.asarray(band["score"]), ref["score"])
+bt = np.asarray(full["bt"])
+bt_b = np.asarray(band["bt_b"])
+for k in range(0, n, 97):
+    want = dp_common.traceback_anchored(ref["eo"][k], ref["idc"][k],
+                                        int(qlens[k]), int(rlens[k]))
+    assert dp_common.traceback_anchored_packed(
+        bt[k], int(qlens[k]), int(rlens[k])) == want, k
+    assert dp_common.traceback_anchored_banded_packed(
+        bt_b[k], int(lbw[k]), int(qlens[k]), int(rlens[k])) == want, k
+print("ANCHORED_VARIANTS_OK")
+"""
+    r = subprocess.run([sys.executable, "-c", script], env=_tpu_env(),
+                       capture_output=True, timeout=2400, text=True,
+                       cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ANCHORED_VARIANTS_OK" in r.stdout
