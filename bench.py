@@ -222,6 +222,100 @@ def bench_e2e(reads, read_len, err, label_suffix=""):
     return out
 
 
+def bench_e2e_staged_tpu(n_reads=20000, read_len=100, err=0.02):
+    """Warm in-process e2e of the staged batch-pallas engine (native
+    host phases + Pallas DP batches) with the tunnel cost decomposed.
+
+    Protocol: parse once, run align_chunk twice; the first run pays
+    backend attach + per-shape compiles (reported as warmup_s), the
+    second is the steady-state number.  The decomposition separates
+    host phases from device+transfer so a local-chip projection can be
+    made: on this remote-TPU link the per-launch RTT and ~10 MB/s
+    result-plane transfer dominate device_s; a local chip's DMA
+    (>8 GB/s) makes the same bytes negligible (BASELINE.md round 3)."""
+    import tempfile
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_testdata as mt
+    import random
+    from yaha_tpu.config import AlignmentArgs
+    from yaha_tpu.io import native_loader
+    from yaha_tpu.native import host
+    from yaha_tpu.models.staged import StagedAligner
+
+    d = tempfile.mkdtemp(prefix="staged_tpu_")
+    try:
+        import gzip
+        import shutil
+        shutil.copy(os.path.join(REPO, "tests/golden/testgen.nib2"), d)
+        with gzip.open(os.path.join(
+                REPO, "tests/golden/testgen.X11_01_65525S.gz")) as f:
+            with open(os.path.join(d, "testgen.X11_01_65525S"),
+                      "wb") as out:
+                out.write(f.read())
+        rng = random.Random(20260816)
+        genome_d = mt.make_genome(rng)
+        rng = random.Random(424242)
+        recs = []
+        for i in range(n_reads):
+            chrom, pos, s = mt.sample_read(rng, genome_d, read_len)
+            s = mt.mutate(rng, s, err, err / 4)
+            if rng.random() < 0.5:
+                s = mt.revcomp(s)
+            recs.append(("rd%d" % i, s))
+        qpath = os.path.join(d, "reads.fasta")
+        mt.write_fasta(qpath, recs)
+
+        aa = AlignmentArgs()
+        aa.xfile_name = "testgen.X11_01_65525S"
+        aa.qfile_name = "reads.fasta"
+        aa.ofile_name = "out.sam"
+        aa.post_process(True)
+        genome = native_loader.load_genome(os.path.join(d, "testgen.nib2"))
+        index = native_loader.load_index(
+            os.path.join(d, "testgen.X11_01_65525S"))
+        aa.word_len = index.word_len
+        aa.max_hits = min(aa.max_hits, index.max_hits)
+        with open(qpath, "rb") as f:
+            data = f.read()
+        pr = host.parse_queries_native(data, False, aa.max_query_length,
+                                       aa.word_len)
+        st = StagedAligner(aa, genome, index, backend="pallas",
+                           n_threads=4)
+        t0 = time.time()
+        st.align_chunk(pr, 0, pr.n)
+        warmup = time.time() - t0
+        st.stats = {k: (0 if not isinstance(v, float) else 0.0)
+                    for k, v in st.stats.items()}
+        t0 = time.time()
+        text, sm, nr = st.align_chunk(pr, 0, pr.n)
+        wall = time.time() - t0
+        s = st.stats
+        host_s = wall - s["device_s"]
+        # Local-chip projection: replace tunnel RTT+transfer with DMA at
+        # 8 GB/s and 100 us/launch.
+        local_dev_s = ((s["h2d_bytes"] + s["d2h_bytes"]) / 8e9 +
+                       s["dp_launches"] * 1e-4)
+        return {
+            "reads": pr.n,
+            "reads_per_s_warm": round(pr.n / wall, 1),
+            "warmup_s": round(warmup, 1),
+            "wall_s": round(wall, 2),
+            "host_phases_s": round(host_s, 2),
+            "device_plus_transfer_s": round(s["device_s"], 2),
+            "dp_launches": s["dp_launches"],
+            "gap_problems": s["gap_problems"],
+            "ext_problems": s["ext_problems"],
+            "h2d_mb": round(s["h2d_bytes"] / 1e6, 1),
+            "d2h_mb": round(s["d2h_bytes"] / 1e6, 1),
+            "records": nr,
+            "local_chip_projection_reads_per_s": round(
+                pr.n / (host_s + local_dev_s), 1),
+        }
+    finally:
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _tpu_reachable(timeout=240):
     """Probe device enumeration in a child process: a down TPU tunnel
     blocks jax.devices() indefinitely, which must not hang the bench."""

@@ -30,15 +30,26 @@ sys.path.insert(0, REPO)
 
 
 def _time_best(fn, args_list, windows=5):
-    for a in args_list[:1]:
-        fn(a)
+    """Every timed launch uses a DISTINCT input set: the remote-TPU
+    execution path memoizes bit-identical launches (NOTES.md), so
+    repeating any input would measure the cache, not the device.
+    args_list must hold windows+1 groups; group 0 warms/compiles."""
+    groups = len(args_list)
+    assert groups >= windows + 1, (groups, windows)
+    per = max(1, groups // (windows + 1))
+    for a in args_list[:per]:
+        r = fn(a)
+    jax_block(r)
     best = float("inf")
-    for _ in range(windows):
+    for wdx in range(windows):
+        grp = args_list[(wdx + 1) * per:(wdx + 2) * per]
+        if not grp:
+            break
         t0 = time.time()
-        for a in args_list:
+        for a in grp:
             r = fn(a)
         jax_block(r)
-        best = min(best, (time.time() - t0) / len(args_list))
+        best = min(best, (time.time() - t0) / len(grp))
     return best
 
 
@@ -68,9 +79,10 @@ def bench_ext_kernel():
     kw = dict(band_width=5, go=5, ge=2, rc=3, ms=1, max_gap=50,
               max_intron=50, x_cutoff=25)
     arg_sets = []
-    for s in range(8):
+    for sft in range(18):
         q2 = q.copy()
-        q2[:, 0] = (q2[:, 0] + s) % 4
+        q2[:, 0] = (q2[:, 0] + sft) % 4
+        q2[:, 1] = (q2[:, 1] + sft // 4) % 4
         arg_sets.append(tuple(jnp.asarray(x)
                               for x in (q2, qlens, r, rlens)))
     fn = lambda a: sw_pallas.extension_forward_pallas(*a, **kw)
@@ -109,7 +121,7 @@ def bench_vpu_int32():
 
     rng = np.random.default_rng(3)
     args = []
-    for s in range(6):
+    for _ in range(18):
         x = jnp.asarray(rng.integers(0, 100, (K, 8, 128), np.int32))
         y = jnp.asarray(rng.integers(1, 100, (K, 8, 128), np.int32))
         args.append((x, y))
@@ -130,8 +142,12 @@ def bench_hbm_store():
         return x ^ 1
 
     rng = np.random.default_rng(5)
-    args = [jnp.asarray(rng.integers(0, 127, NB, np.int8))
-            for _ in range(3)]
+    base = rng.integers(0, 127, NB, np.int8)
+    args = []
+    for sft in range(8):
+        a = base.copy()
+        a[:64] = sft          # distinct bytes, cheap to derive
+        args.append(jnp.asarray(a))
     dt = _time_best(f, args, windows=3)
     return 2 * NB / dt            # read + write
 

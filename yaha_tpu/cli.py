@@ -555,8 +555,12 @@ def _setup_compile_cache():
         try:
             os.makedirs(cache_dir, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache_dir)
+            # 0.0: the pallas DP kernels compile in ~0.8-2 s each; the
+            # default 1 s floor silently skipped persisting half of them
+            # (measured round 3), costing every later process a redundant
+            # remote compile.
             jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 1.0)
+                "jax_persistent_cache_min_compile_time_secs", 0.0)
         except OSError:
             pass
 

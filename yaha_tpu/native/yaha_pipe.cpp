@@ -412,10 +412,6 @@ struct State {
     std::vector<Clump*> clumps;
     int64_t primary_count = 0;
 
-    // seed_to_clumps scratch.
-    std::vector<int64_t> sc_sqo, sc_eqo, sc_sro, sc_offs, sc_matched;
-    int64_t cap_frags = 65536, cap_clumps = 8192;
-
     // DP scratch (grown on demand).
     std::vector<int8_t> dp_eo;
     std::vector<int32_t> dp_idc;
@@ -2089,15 +2085,22 @@ static void print_clump(State& st, Clump& clump, std::string& out) {
 static int64_t process_strand(State& st, bool rev) {
     const Params& aa = *st.aa;
     const uint8_t* codes = rev ? st.rev_codes.data() : st.fwd_codes.data();
+    // Seed-to-clump scratch is per THREAD, not per State: the staged
+    // batch pipeline holds one State per read, and per-read copies of
+    // these ~1.5 MB buffers turned yt_batch_begin into 30 GB of memset
+    // at 20k-read chunks (round-3 profile: 311 s -> the fix below).
+    static thread_local std::vector<int64_t> sc_sqo, sc_eqo, sc_sro,
+        sc_offs, sc_matched;
+    static thread_local int64_t cap_frags = 65536, cap_clumps = 8192;
     for (;;) {
-        if ((int64_t)st.sc_sqo.size() < st.cap_frags) {
-            st.sc_sqo.resize((size_t)st.cap_frags);
-            st.sc_eqo.resize((size_t)st.cap_frags);
-            st.sc_sro.resize((size_t)st.cap_frags);
+        if ((int64_t)sc_sqo.size() < cap_frags) {
+            sc_sqo.resize((size_t)cap_frags);
+            sc_eqo.resize((size_t)cap_frags);
+            sc_sro.resize((size_t)cap_frags);
         }
-        if ((int64_t)st.sc_offs.size() < st.cap_clumps + 1) {
-            st.sc_offs.resize((size_t)st.cap_clumps + 1);
-            st.sc_matched.resize((size_t)st.cap_clumps);
+        if ((int64_t)sc_offs.size() < cap_clumps + 1) {
+            sc_offs.resize((size_t)cap_clumps + 1);
+            sc_matched.resize((size_t)cap_clumps);
         }
         int64_t total_hits = 0;
         double ts = g_prof ? now_s() : 0;
@@ -2106,28 +2109,28 @@ static int64_t process_strand(State& st, bool rev) {
             aa.max_hits, aa.max_gap, aa.max_desert, aa.min_match,
             aa.min_non_overlap, aa.m_score, aa.go_cost, aa.ge_cost,
             aa.band_width,
-            st.sc_sqo.data(), st.sc_eqo.data(), st.sc_sro.data(),
-            st.sc_offs.data(), st.sc_matched.data(),
-            st.cap_frags, st.cap_clumps, &total_hits);
+            sc_sqo.data(), sc_eqo.data(), sc_sro.data(),
+            sc_offs.data(), sc_matched.data(),
+            cap_frags, cap_clumps, &total_hits);
         if (g_prof) { g_prof->s2c += now_s() - ts;
                       g_prof->clumps += n_clumps > 0 ? n_clumps : 0; }
         if (n_clumps < 0) {
-            st.cap_frags *= 4;
-            st.cap_clumps *= 4;
+            cap_frags *= 4;
+            cap_clumps *= 4;
             continue;
         }
         for (int64_t k = 0; k < n_clumps; k++) {
             Clump* clump = st.new_clump();
-            for (int64_t i = st.sc_offs[(size_t)k];
-                 i < st.sc_offs[(size_t)(k + 1)]; i++) {
+            for (int64_t i = sc_offs[(size_t)k];
+                 i < sc_offs[(size_t)(k + 1)]; i++) {
                 clump->sfrags.emplace_back();
                 Frag& f = clump->sfrags.back().frag;
-                f.sqo = st.sc_sqo[(size_t)i];
-                f.eqo = st.sc_eqo[(size_t)i];
-                f.sro = st.sc_sro[(size_t)i];
+                f.sqo = sc_sqo[(size_t)i];
+                f.eqo = sc_eqo[(size_t)i];
+                f.sro = sc_sro[(size_t)i];
                 f.ref_len = f.eqo - f.sqo + 1;
             }
-            clump->matched_bases = st.sc_matched[(size_t)k];
+            clump->matched_bases = sc_matched[(size_t)k];
             st.add_clump(clump, rev);
         }
         return total_hits;

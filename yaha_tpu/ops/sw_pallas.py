@@ -39,7 +39,9 @@ TILE = SUB * LANE  # problems per tile
 # The int16/int32 run-length (IDCount) plane the XLA twins emit is fully
 # reconstructible from these bits (run length = 1 + length of the
 # continue-bit chain), so the kernels stream 1 byte per band cell to HBM
-# instead of 3-5 — the kernels are output-bandwidth-bound (BASELINE.md).
+# instead of 3-5.  With that, the stream is only ~12-22% of v5e HBM and
+# the kernel is VPU-issue-bound (ARCHITECTURE.md roofline,
+# tools/kernel_roofline.py).
 BT_OP = 7
 BT_CD = 8
 BT_CF = 16
