@@ -75,13 +75,20 @@ def bench_extension(use_tpu):
 
 
 def bench_anchored(use_tpu):
-    """Anchored (gap-fill) kernel throughput, banded gap-fill shapes."""
+    """Anchored (gap-fill) kernel at its WIDE-BAND production shape:
+    unbanded gap fills (lbw = rbw = max(q,r)+1) are the only shapes the
+    full-matrix kernel serves in production — narrow bands ride the
+    band-relative kernel (bench_anchored_banded; models/staged.py
+    dispatch).  At this shape the band covers the whole matrix, so the
+    in-band cell count equals the computed cells and the old 64x96/
+    band-43 cell (37-45 Gcells/s, BENCH_r02) was measuring ~2.2x of
+    masked out-of-band work that production never runs."""
     from yaha_tpu.ops import sw_pallas, sw_batch
     import jax.numpy as jnp
     rng = np.random.default_rng(11)
     n = sw_pallas.TILE if use_tpu else 256
     ql, rl = 64, 96
-    lbw_v, rbw_v = 5, 5 + (rl - ql)
+    lbw_v, rbw_v = rl + 1, rl + 1      # unbanded (SW.cpp:899 full init)
     q = rng.integers(0, 4, (n, ql)).astype(np.uint8)
     r = rng.integers(0, 4, (n, rl)).astype(np.uint8)
     qlens = np.full(n, ql, np.int32)
@@ -109,11 +116,8 @@ def bench_anchored(use_tpu):
         for o in outs:
             o["score"].block_until_ready()
         best_dt = min(best_dt, (time.time() - t0) / reps)
-    # In-band cells per problem.
-    band = lbw_v + rbw_v + 1
-    cells_per = sum(min(i + rbw_v, rl) - max(i - lbw_v, 1) + 1
-                    for i in range(1, ql + 1))
-    return n * cells_per / best_dt, band
+    cells_per = ql * rl                # whole matrix in band
+    return n * cells_per / best_dt, 2 * (rl + 1) + 1
 
 
 def bench_anchored_banded(use_tpu):
