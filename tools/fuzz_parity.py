@@ -201,10 +201,16 @@ def run_one(seed, keep=False):
             engine = ["--engine", "native"]
         elif r_eng < 0.5:
             engine = ["--engine", "native", "-t", "2"]
-        elif r_eng < 0.75:
+        elif r_eng < 0.70:
             engine = ["--engine", "batch"]
-        elif r_eng < 0.85:
+        elif r_eng < 0.78:
             engine = ["--engine", "batch", "-t", "2"]
+        elif r_eng < 0.90:
+            # Staged engine (native host phases + jit DP batches) on
+            # CPU jax; the compile cache keeps repeat shapes warm.
+            engine = ["--engine", "batch-xla"]
+            env["JAX_PLATFORMS"] = "cpu"
+            env["PALLAS_AXON_POOL_IPS"] = ""
         else:
             # Explicit: the CLI default is now the native engine, so the
             # oracle path needs its own arm to keep getting fuzzed.
