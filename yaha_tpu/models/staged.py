@@ -224,13 +224,22 @@ class StagedAligner:
                 np.pad(qa, ((0, pad), (0, 0))), np.pad(qlens, (0, pad)),
                 np.pad(ra, ((0, pad), (0, 0)), constant_values=255),
                 np.pad(rlens, (0, pad)), **kw)
-            bt = np.ascontiguousarray(np.asarray(out["bt"])[:n])
             score = np.ascontiguousarray(
                 np.asarray(out["score"])[:n].astype(np.int32))
             maxi = np.ascontiguousarray(
                 np.asarray(out["maxi"])[:n].astype(np.int32))
             maxj = np.ascontiguousarray(
                 np.asarray(out["maxj"])[:n].astype(np.int32))
+            # The backtrack walks DOWN from (maxi, maxj): rows above the
+            # bucket's max(maxi) are never read, so slice them off
+            # on-device before the d2h transfer.  X-drop-exited junk
+            # extensions on long reads leave most of the plane unread —
+            # at 1 kb+ this cuts the dominant transfer several-fold.
+            rows = int(maxi.max(initial=0)) + 1
+            # pow2 tier: a distinct slice shape is a distinct compiled
+            # program on the device.
+            rows = min(out["bt"].shape[1], _pow2(rows))
+            bt = np.ascontiguousarray(np.asarray(out["bt"][:n, :rows, :]))
             self.stats["device_s"] += time.time() - t0
             self.stats["d2h_bytes"] += bt.nbytes + 12 * n
             return (FMT_PACKED, bt, None, bt.shape[1] * bt.shape[2],
