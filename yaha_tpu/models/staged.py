@@ -205,6 +205,9 @@ class StagedAligner:
                 eo.shape[2], score)
 
     def _run_ext_bucket(self, qa, qlens, ra, rlens):
+        """Returns a list of result parts
+        [(local_idx, fmt, plane, idc, plane_stride, row_stride,
+          maxi, maxj, score)]."""
         import time
         aa = self.aa
         kw = dict(band_width=aa.band_width, go=aa.go_cost, ge=aa.ge_cost,
@@ -230,20 +233,40 @@ class StagedAligner:
                 np.asarray(out["maxi"])[:n].astype(np.int32))
             maxj = np.ascontiguousarray(
                 np.asarray(out["maxj"])[:n].astype(np.int32))
-            # The backtrack walks DOWN from (maxi, maxj): rows above the
-            # bucket's max(maxi) are never read, so slice them off
-            # on-device before the d2h transfer.  X-drop-exited junk
-            # extensions on long reads leave most of the plane unread —
-            # at 1 kb+ this cuts the dominant transfer several-fold.
-            rows = int(maxi.max(initial=0)) + 1
-            # pow2 tier: a distinct slice shape is a distinct compiled
-            # program on the device.
-            rows = min(out["bt"].shape[1], _pow2(rows))
-            bt = np.ascontiguousarray(np.asarray(out["bt"][:n, :rows, :]))
+            # Per-problem plane compaction before d2h: the backtrack
+            # walks DOWN from (maxi, maxj), so a problem only needs
+            # rows [0, maxi].  Problems group into pow2 row tiers; each
+            # tier's planes are gathered on-device and transferred
+            # trimmed.  X-drop-exited junk extensions on long reads
+            # need a few dozen rows of a read-length-sized plane — at
+            # 1 kb+ this cuts the dominant tunnel transfer ~5-10x.
+            # (Gather/slice shapes are pow2-tiered like everything
+            # else so the compiled-program set stays bounded.)
+            import jax.numpy as jnp
+            plane_rows = out["bt"].shape[1]
+            need = np.minimum(maxi.astype(np.int64) + 1, plane_rows)
+            tiers = _pow2_arr(need, 64)
+            tiers = np.minimum(tiers, plane_rows)
+            parts = []
+            bt_dev = out["bt"]
+            for t in np.unique(tiers):
+                lidx = np.nonzero(tiers == t)[0]
+                lp = _pow2(len(lidx), 256)
+                pad_idx = np.zeros(lp, np.int32)
+                pad_idx[:len(lidx)] = lidx
+                sub = jnp.take(bt_dev, jnp.asarray(pad_idx),
+                               axis=0)[:, :int(t), :]
+                btp = np.ascontiguousarray(
+                    np.asarray(sub)[:len(lidx)])
+                self.stats["d2h_bytes"] += btp.nbytes
+                parts.append((lidx, FMT_PACKED, btp, None,
+                              btp.shape[1] * btp.shape[2], btp.shape[2],
+                              np.ascontiguousarray(maxi[lidx]),
+                              np.ascontiguousarray(maxj[lidx]),
+                              np.ascontiguousarray(score[lidx])))
             self.stats["device_s"] += time.time() - t0
-            self.stats["d2h_bytes"] += bt.nbytes + 12 * n
-            return (FMT_PACKED, bt, None, bt.shape[1] * bt.shape[2],
-                    bt.shape[2], maxi, maxj, score)
+            self.stats["d2h_bytes"] += 12 * n
+            return parts
         if self.backend == "native":
             out = host.extension_forward(qa, qlens.astype(np.int64), ra,
                                          rlens.astype(np.int64), **kw)
@@ -265,8 +288,9 @@ class StagedAligner:
         maxj = np.ascontiguousarray(out["maxj"][:n].astype(np.int32))
         self.stats["device_s"] += time.time() - t0
         self.stats["d2h_bytes"] += eo.nbytes + idc.nbytes + 12 * n
-        return (FMT_EOIDC, eo, idc, eo.shape[1] * eo.shape[2],
-                eo.shape[2], maxi, maxj, score)
+        return [(np.arange(n), FMT_EOIDC, eo, idc,
+                 eo.shape[1] * eo.shape[2], eo.shape[2], maxi, maxj,
+                 score)]
 
     # ---- phase drivers ----
 
@@ -346,14 +370,16 @@ class StagedAligner:
                 rl_b = rlen[idx].astype(np.int64)
                 self.stats["ext_cells"] += int(
                     (ql_b * (2 * bw2 + 1)).sum())
-                fmt, plane, idc, pstride, rstride, maxi, maxj, score = \
-                    self._run_ext_bucket(qa, ql_b, ra, rl_b)
-                lib.yt_batch_ext_apply(
-                    ctx, fmt, m, _p64(idx),
-                    plane.ctypes.data_as(ct.c_void_p),
-                    _p32(idc) if idc is not None else None,
-                    pstride, rstride, _p32(maxi), _p32(maxj),
-                    _p32(score))
+                for (lidx, fmt, plane, idc, pstride, rstride, maxi,
+                     maxj, score) in self._run_ext_bucket(qa, ql_b, ra,
+                                                          rl_b):
+                    gidx = np.ascontiguousarray(idx[lidx])
+                    lib.yt_batch_ext_apply(
+                        ctx, fmt, len(gidx), _p64(gidx),
+                        plane.ctypes.data_as(ct.c_void_p),
+                        _p32(idc) if idc is not None else None,
+                        pstride, rstride, _p32(maxi), _p32(maxj),
+                        _p32(score))
 
     # ---- driver ----
 
