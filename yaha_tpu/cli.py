@@ -462,8 +462,8 @@ def _do_query(aa):
         aligner = StagedAligner(aa, genome, index, backend=backend,
                                 n_threads=aa.num_threads)
 
-        def _align(pr, lo, hi):
-            text, sm, nr = aligner.align_chunk(pr, lo, hi)
+        def _align(pr, lo, hi, dist=None):
+            text, sm, nr = aligner.align_chunk(pr, lo, hi, dist=dist)
             return text, None, sm, nr
         _run_native_engine(aa, genome, index, align_fn=_align,
                            dp_stats=aligner.stats)
@@ -658,7 +658,7 @@ def _run_native_engine(aa, genome, index, align_fn=None, dp_stats=None):
     rec_total = 0
     import ctypes as _ct
     dist_acc = [0, 0, (1 << 62), 0, 0, (1 << 62), 0, 0, 0, (1 << 62), -1] \
-        if aa.verbose and align_fn is None else None
+        if aa.verbose else None
     try:
         if start_read == 0:
             emit_q.put((sam.file_header(aa, genome).encode("latin-1"),
@@ -680,7 +680,8 @@ def _run_native_engine(aa, genome, index, align_fn=None, dp_stats=None):
                     else None
                 with timers.stage("align batch"):
                     if align_fn is not None:
-                        text, stats, sm, nr = align_fn(pr, lo, hi)
+                        text, stats, sm, nr = align_fn(pr, lo, hi,
+                                                       dist=dist)
                     else:
                         text, stats, sm, nr = host.align_batch_native(
                             pr, lo, hi, genome, index, aa,

@@ -71,7 +71,8 @@ def _sig(lib):
         ct.c_void_p, ct.c_int64, ct.c_int64, _i64p, ct.c_void_p, _i32p,
         ct.c_int64, ct.c_int64, _i32p, _i32p, _i32p]
     lib.yt_batch_finish.argtypes = [
-        ct.c_void_p, ct.POINTER(ct.c_void_p), _i64p, _i64p, _i64p]
+        ct.c_void_p, ct.POINTER(ct.c_void_p), _i64p, _i64p, _i64p,
+        _i64p]
     lib.yt_batch_free.argtypes = [ct.c_void_p]
     lib._staged_sig_done = True
 
@@ -383,9 +384,12 @@ class StagedAligner:
 
     # ---- driver ----
 
-    def align_chunk(self, pr, lo: int, hi: int):
+    def align_chunk(self, pr, lo: int, hi: int, dist=None):
         """Align reads [lo, hi) of a ParsedReads through the staged
-        pipeline; returns (sam_bytes, seed_matches, records)."""
+        pipeline; returns (sam_bytes, seed_matches, records).  `dist`,
+        if given, is a ctypes (c_int64 * 11) array filled with the
+        per-batch STATS distributions (same fields as
+        host.align_batch_native)."""
         lib = self.lib
         aa = self.aa
         genome = self.genome
@@ -418,9 +422,10 @@ class StagedAligner:
             out_len = ct.c_int64()
             sm = ct.c_int64()
             nr = ct.c_int64()
-            rc = lib.yt_batch_finish(ctx, ct.byref(out_text),
-                                     ct.byref(out_len), ct.byref(sm),
-                                     ct.byref(nr))
+            rc = lib.yt_batch_finish(
+                ctx, ct.byref(out_text), ct.byref(out_len),
+                ct.byref(sm), ct.byref(nr),
+                ct.cast(dist, _i64p) if dist is not None else None)
             assert rc == 0
             try:
                 text = ct.string_at(out_text, out_len.value)

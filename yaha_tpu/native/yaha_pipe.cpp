@@ -2249,6 +2249,7 @@ struct ReadSlot {
     std::vector<StagedProb> gaps, exts;
     std::vector<uint8_t> arena;      // materialized q/r problem slices
     int64_t seed_matches = 0;
+    int64_t fwd_count = 0, rev_count = 0;   // per-strand STATS counts
 };
 
 struct BatchCtx {
@@ -2472,6 +2473,8 @@ static void staged_phase1(BatchCtx& c, int64_t i) {
                 (long long)yt_skipped_regions,
                 (long long)yt_max_region_frags, st.query_id.c_str());
     slot.seed_matches = fwd + rev;
+    slot.fwd_count = fwd;
+    slot.rev_count = rev;
     for (Clump* cl : st.clumps)
         align_clump_stage1(st, *cl, slot, c.inline_small, (int32_t)i);
 }
@@ -3291,16 +3294,45 @@ int yt_batch_ext_apply(void* h, int64_t format, int64_t n,
 }
 
 int yt_batch_finish(void* h, char** out_text, int64_t* out_len,
-                    int64_t* seed_matches, int64_t* records) {
+                    int64_t* seed_matches, int64_t* records,
+                    int64_t* dist_out) {
     using namespace yp;
     BatchCtx& c = *(BatchCtx*)h;
     staged_run(c, c.n_reads, [&c](int64_t i) { staged_phase3(c, i); });
     size_t total = 0;
     int64_t seed_sum = 0, rec_sum = 0;
+    RunStats m;
     for (ReadSlot& slot : c.slots) {
         total += slot.out.size();
         seed_sum += slot.seed_matches;
-        rec_sum += (int64_t)slot.st.clumps.size();
+        int64_t n_aligns = (int64_t)slot.st.clumps.size();
+        rec_sum += n_aligns;
+        if (dist_out) {
+            // Same STATS distribution fields as yt_align_batch
+            // (Query.c:275-289 report under -v).
+            for (int64_t cnt : {slot.fwd_count, slot.rev_count}) {
+                m.cnt_tot += cnt;
+                if (cnt > 0 && cnt < m.cnt_min) m.cnt_min = cnt;
+                if (cnt > m.cnt_max) m.cnt_max = cnt;
+            }
+            m.queries++;
+            m.qlen_tot += slot.st.q_len;
+            if (slot.st.q_len < m.qlen_min) m.qlen_min = slot.st.q_len;
+            if (slot.st.q_len > m.qlen_max) m.qlen_max = slot.st.q_len;
+            m.clumps_tot += n_aligns;
+            if (n_aligns > m.clumps_max) m.clumps_max = n_aligns;
+            if (n_aligns > 0 && n_aligns < m.clumps_min)
+                m.clumps_min = n_aligns;
+            if (n_aligns == 0) m.nonaligned++;
+        }
+    }
+    if (dist_out) {
+        dist_out[0] = m.queries;     dist_out[1] = m.qlen_tot;
+        dist_out[2] = m.qlen_min;    dist_out[3] = m.qlen_max;
+        dist_out[4] = m.cnt_tot;     dist_out[5] = m.cnt_min;
+        dist_out[6] = m.cnt_max;     dist_out[7] = m.nonaligned;
+        dist_out[8] = m.clumps_tot;  dist_out[9] = m.clumps_min;
+        dist_out[10] = m.clumps_max;
     }
     char* buf = (char*)malloc(total ? total : 1);
     if (!buf) return -1;
