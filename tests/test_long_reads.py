@@ -49,7 +49,7 @@ def _run(tmp_path, *args):
     env["PYTHONPATH"] = REPO
     return subprocess.run(
         [sys.executable, "-m", "yaha_tpu.cli", *args],
-        cwd=tmp_path, env=env, capture_output=True, timeout=600)
+        cwd=tmp_path, env=env, capture_output=True, timeout=1800)
 
 
 def test_native_long_read_split_alignment(tmp_path):

@@ -129,6 +129,39 @@ def test_staged_xla_backend_parity(scratch, env):
     assert (sm, nr) == (sm0, nr0)
 
 
+def test_staged_pallas_rle_parity_interpret(scratch, env):
+    """The full staged-pallas path — Pallas kernels (interpret mode),
+    on-device RLE backtrack decode (ops/decode_jax.py), and the native
+    FMT_RLE apply — is byte-identical to the per-read native pipeline.
+    Also A/Bs the RLE path against the plane-transfer path (YT_STAGED_RLE
+    = 0).  A handful of reads: interpret mode executes the grid in
+    Python.  On-chip coverage: tests/test_tpu_parity.py."""
+    from yaha_tpu.native import host
+    from yaha_tpu.models.staged import StagedAligner
+    genome, index = env
+    aa = _make_aa(scratch, "readsD_sv.fasta", fbs=True)
+    aa.word_len = index.word_len
+    aa.max_hits = min(aa.max_hits, index.max_hits)
+    pr = _parsed(scratch, aa)
+    n = min(pr.n, 12)
+    ref, _, sm0, nr0 = host.align_batch_native(pr, 0, n, genome, index,
+                                               aa, n_threads=2)
+    texts = {}
+    for rle in ("1", "0"):
+        os.environ["YT_PALLAS_INTERPRET"] = "1"
+        os.environ["YT_STAGED_RLE"] = rle
+        try:
+            st = StagedAligner(aa, genome, index, backend="pallas",
+                               n_threads=2)
+            texts[rle], sm, nr = st.align_chunk(pr, 0, n)
+        finally:
+            del os.environ["YT_PALLAS_INTERPRET"]
+            del os.environ["YT_STAGED_RLE"]
+        assert (sm, nr) == (sm0, nr0)
+    assert texts["1"] == ref
+    assert texts["0"] == ref
+
+
 def test_staged_cli_default_for_jax_engines(scratch):
     """--engine batch-xla rides the staged native frontend by default and
     reproduces the golden bytes (incl. header/cursor semantics)."""

@@ -34,7 +34,12 @@ _i32p = ct.POINTER(ct.c_int32)
 _i64p = ct.POINTER(ct.c_int64)
 _u32p = ct.POINTER(ct.c_uint32)
 
-FMT_NATIVE, FMT_EOIDC, FMT_PACKED, FMT_PACKED_BAND = 0, 1, 2, 3
+FMT_NATIVE, FMT_EOIDC, FMT_PACKED, FMT_PACKED_BAND, FMT_RLE = 0, 1, 2, 3, 4
+
+# Device-decode slice bound: rle_decode_* precomputes jump planes with
+# int32 intermediates, so decode runs over problem slices holding at
+# most this many plane cells to bound transient HBM.
+DECODE_MAX_CELLS = 1 << 28
 
 # Largest device problem batch per launch: buckets beyond this split
 # into fixed-shape slices (so arbitrarily large chunks reuse ONE
@@ -81,6 +86,10 @@ def _pow2(x, lo=32):
     return max(lo, 1 << (int(x) - 1).bit_length())
 
 
+def _pow2_floor(x, lo):
+    return max(lo, 1 << (int(x).bit_length() - 1))
+
+
 def _pow2_arr(x, lo=32):
     """Per-element next power of two, floored at `lo` (bucket widths)."""
     x = np.maximum(np.asarray(x, np.int64), 2)
@@ -118,6 +127,15 @@ class StagedAligner:
         if inline_small is None:
             inline_small = os.environ.get("YT_STAGED_INLINE", "1") != "0"
         self.inline_small = inline_small
+        # On-device run-length backtrack decode (ops/decode_jax.py): the
+        # walk runs on the chip and only the (op, len) items transfer —
+        # the packed planes never leave HBM.  YT_STAGED_RLE=0 falls back
+        # to plane transfer + host walk (A/B validation).
+        self.rle = os.environ.get("YT_STAGED_RLE", "1") != "0"
+        # interpret=True runs the Pallas kernels in interpret mode so the
+        # full staged-pallas path (kernels + device decode + FMT_RLE
+        # apply) is testable without a TPU.
+        self.interpret = os.environ.get("YT_PALLAS_INTERPRET", "0") == "1"
         self.lib = host._load()
         _sig(self.lib)
         # Launch/byte accounting for the e2e cost decomposition
@@ -128,9 +146,48 @@ class StagedAligner:
 
     # ---- DP backends ----
 
+    def _device_rle(self, decode, bt, y0, x0, active, cap, max_iters):
+        """Run the on-device RLE walk over problem slices (bounding the
+        jump-plane transient HBM); returns (rle device [np, cap], n_ops
+        host [np])."""
+        import jax.numpy as jnp
+        np_, h, w = bt.shape
+        sl = _pow2_floor(max(1, DECODE_MAX_CELLS // max(1, h * w)), 1024)
+        sl = min(sl, np_)
+        outs, counts = [], []
+        for lo in range(0, np_, sl):
+            r, c = decode(bt[lo:lo + sl], y0[lo:lo + sl],
+                          x0[lo:lo + sl], active[lo:lo + sl],
+                          cap=cap, max_iters=max_iters)
+            outs.append(r)
+            counts.append(np.asarray(c))
+        rle = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        return rle, np.concatenate(counts)
+
+    def _rle_parts(self, rle_dev, nops, n, cap):
+        """Tier-compact device RLE rows by per-problem item count before
+        d2h (the ops-count twin of the row-tier plane compaction);
+        yields (lidx, items array, tier)."""
+        import jax.numpy as jnp
+        tiers = np.minimum(_pow2_arr(np.maximum(nops[:n], 1), 8), cap)
+        parts = []
+        for t in np.unique(tiers):
+            lidx = np.nonzero(tiers == t)[0]
+            lp = _pow2(len(lidx), 256)
+            pad_idx = np.zeros(lp, np.int32)
+            pad_idx[:len(lidx)] = lidx
+            sub = jnp.take(rle_dev, jnp.asarray(pad_idx),
+                           axis=0)[:, :int(t)]
+            arr = np.ascontiguousarray(np.asarray(sub)[:len(lidx)])
+            self.stats["d2h_bytes"] += arr.nbytes
+            parts.append((lidx, arr, int(t)))
+        self.stats["d2h_bytes"] += 4 * n
+        return parts
+
     def _run_gap_bucket(self, qa, qlens, ra, rlens, lbws, rbws):
-        """Returns (format, plane, idc, plane_stride, row_stride, score);
-        arrays stay alive via the returned tuple."""
+        """Returns a list of result parts
+        [(local_idx, format, plane, idc, plane_stride, row_stride,
+          score)]; arrays stay alive via the returned tuples."""
         import time
         aa = self.aa
         kw = dict(go=aa.go_cost, ge=aa.ge_cost, rc=aa.r_cost,
@@ -143,41 +200,61 @@ class StagedAligner:
         self.stats["dp_launches"] += 1
         self.stats["h2d_bytes"] += qa.nbytes + ra.nbytes
         t0 = time.time()
-        if self.backend == "pallas" and wband <= 512 and wband < rg + 1:
+        if self.backend == "pallas" and (wband <= 512 and wband < rg + 1
+                                         or rg <= 512):
             from ..ops import sw_pallas
+            banded = wband <= 512 and wband < rg + 1
             # Pow2 tile tiers: the pallas grid's tile count is a
             # compiled dimension, so unpadded batches would recompile
             # per chunk (minutes each through a remote-TPU link).
             pad = _pow2(n, sw_pallas.TILE) - n
-            out = sw_pallas.anchored_forward_pallas_banded(
-                np.pad(qa, ((0, pad), (0, 0))), np.pad(qlens, (0, pad)),
-                np.pad(ra, ((0, pad), (0, 0))), np.pad(rlens, (0, pad)),
-                np.pad(lbws, (0, pad)), np.pad(rbws, (0, pad)),
-                wband=wband, **kw)
-            bt = np.ascontiguousarray(np.asarray(out["bt_b"])[:n])
+            ql_p = np.pad(qlens, (0, pad))
+            rl_p = np.pad(rlens, (0, pad))
+            lb_p = np.pad(lbws, (0, pad))
+            args = (np.pad(qa, ((0, pad), (0, 0))), ql_p,
+                    np.pad(ra, ((0, pad), (0, 0))), rl_p,
+                    lb_p, np.pad(rbws, (0, pad)))
+            if banded:
+                out = sw_pallas.anchored_forward_pallas_banded(
+                    *args, wband=wband, interpret=self.interpret, **kw)
+                bt_dev, w = out["bt_b"], wband
+            else:
+                out = sw_pallas.anchored_forward_pallas(
+                    *args, interpret=self.interpret, **kw)
+                bt_dev, w = out["bt"], rg + 1
             score = np.ascontiguousarray(
                 np.asarray(out["score"])[:n].astype(np.int32))
+            if self.rle:
+                from ..ops import decode_jax
+                if banded:
+                    decode = decode_jax.rle_decode_band
+                    x0 = (rl_p - ql_p + lb_p).astype(np.int32)
+                    bound = 2 * qg + w + 2
+                else:
+                    decode = decode_jax.rle_decode_full
+                    x0 = rl_p.astype(np.int32)
+                    bound = qg + rg + 2
+                cap = _pow2(bound, 32)
+                rle_dev, nops = self._device_rle(
+                    decode, bt_dev, ql_p.astype(np.int32), x0,
+                    np.ones(len(ql_p), bool), cap, bound + 16)
+                parts = []
+                for lidx, arr, t in self._rle_parts(rle_dev, nops, n,
+                                                    cap):
+                    parts.append(
+                        (lidx, FMT_RLE, arr,
+                         np.ascontiguousarray(nops[lidx].astype(np.int32)),
+                         t, 0, np.ascontiguousarray(score[lidx])))
+                self.stats["device_s"] += time.time() - t0
+                self.stats["d2h_bytes"] += score.nbytes
+                return parts
+            bt = np.ascontiguousarray(np.asarray(bt_dev)[:n])
             self.stats["device_s"] += time.time() - t0
             self.stats["d2h_bytes"] += bt.nbytes + score.nbytes
-            return (FMT_PACKED_BAND, bt, None, bt.shape[1] * bt.shape[2],
-                    wband, score)
-        if self.backend == "pallas" and rg <= 512:
-            from ..ops import sw_pallas
-            # Pow2 tile tiers: the pallas grid's tile count is a
-            # compiled dimension, so unpadded batches would recompile
-            # per chunk (minutes each through a remote-TPU link).
-            pad = _pow2(n, sw_pallas.TILE) - n
-            out = sw_pallas.anchored_forward_pallas(
-                np.pad(qa, ((0, pad), (0, 0))), np.pad(qlens, (0, pad)),
-                np.pad(ra, ((0, pad), (0, 0))), np.pad(rlens, (0, pad)),
-                np.pad(lbws, (0, pad)), np.pad(rbws, (0, pad)), **kw)
-            bt = np.ascontiguousarray(np.asarray(out["bt"])[:n])
-            score = np.ascontiguousarray(
-                np.asarray(out["score"])[:n].astype(np.int32))
-            self.stats["device_s"] += time.time() - t0
-            self.stats["d2h_bytes"] += bt.nbytes + score.nbytes
-            return (FMT_PACKED, bt, None, bt.shape[1] * bt.shape[2],
-                    bt.shape[2], score)
+            return [(np.arange(n), FMT_PACKED_BAND if banded
+                     else FMT_PACKED, bt, None,
+                     bt.shape[1] * bt.shape[2],
+                     wband if banded else bt.shape[2], score)]
         if self.backend == "native":
             out = host.anchored_forward(qa, qlens.astype(np.int64), ra,
                                         rlens.astype(np.int64),
@@ -202,8 +279,8 @@ class StagedAligner:
         score = np.ascontiguousarray(out["score"][:n].astype(np.int32))
         self.stats["device_s"] += time.time() - t0
         self.stats["d2h_bytes"] += eo.nbytes + idc.nbytes + score.nbytes
-        return (FMT_EOIDC, eo, idc, eo.shape[1] * eo.shape[2],
-                eo.shape[2], score)
+        return [(np.arange(n), FMT_EOIDC, eo, idc,
+                 eo.shape[1] * eo.shape[2], eo.shape[2], score)]
 
     def _run_ext_bucket(self, qa, qlens, ra, rlens):
         """Returns a list of result parts
@@ -227,13 +304,37 @@ class StagedAligner:
             out = sw_pallas.extension_forward_pallas(
                 np.pad(qa, ((0, pad), (0, 0))), np.pad(qlens, (0, pad)),
                 np.pad(ra, ((0, pad), (0, 0)), constant_values=255),
-                np.pad(rlens, (0, pad)), **kw)
+                np.pad(rlens, (0, pad)), interpret=self.interpret, **kw)
             score = np.ascontiguousarray(
                 np.asarray(out["score"])[:n].astype(np.int32))
             maxi = np.ascontiguousarray(
                 np.asarray(out["maxi"])[:n].astype(np.int32))
             maxj = np.ascontiguousarray(
                 np.asarray(out["maxj"])[:n].astype(np.int32))
+            if self.rle:
+                # On-device run-length decode: the plane never leaves
+                # HBM; only (op, len) items transfer, tier-compacted by
+                # per-problem item count.
+                from ..ops import decode_jax
+                w = out["bt"].shape[2]
+                bound = 2 * qa.shape[1] + w + 2
+                cap = _pow2(bound, 32)
+                rle_dev, nops = self._device_rle(
+                    decode_jax.rle_decode_band, out["bt"], out["maxi"],
+                    out["maxj"], out["score"] > 0, cap, bound + 16)
+                parts = []
+                for lidx, arr, t in self._rle_parts(rle_dev, nops, n,
+                                                    cap):
+                    parts.append(
+                        (lidx, FMT_RLE, arr,
+                         np.ascontiguousarray(nops[lidx].astype(np.int32)),
+                         t, 0,
+                         np.ascontiguousarray(maxi[lidx]),
+                         np.ascontiguousarray(maxj[lidx]),
+                         np.ascontiguousarray(score[lidx])))
+                self.stats["device_s"] += time.time() - t0
+                self.stats["d2h_bytes"] += 12 * n
+                return parts
             # Per-problem plane compaction before d2h: the backtrack
             # walks DOWN from (maxi, maxj), so a problem only needs
             # rows [0, maxi].  Problems group into pow2 row tiers; each
@@ -332,13 +433,15 @@ class StagedAligner:
                 rb_b = rbw[idx].astype(np.int64)
                 self.stats["gap_cells"] += int(
                     (np.minimum(lb_b + rb_b + 1, rl_b + 1) * ql_b).sum())
-                fmt, plane, idc, pstride, rstride, score = \
-                    self._run_gap_bucket(qa, ql_b, ra, rl_b, lb_b, rb_b)
-                lib.yt_batch_gap_apply(
-                    ctx, fmt, m, _p64(idx),
-                    plane.ctypes.data_as(ct.c_void_p),
-                    _p32(idc) if idc is not None else None,
-                    pstride, rstride, _p32(score))
+                for (lidx, fmt, plane, idc, pstride, rstride,
+                     score) in self._run_gap_bucket(qa, ql_b, ra, rl_b,
+                                                    lb_b, rb_b):
+                    gidx = np.ascontiguousarray(idx[lidx])
+                    lib.yt_batch_gap_apply(
+                        ctx, fmt, len(gidx), _p64(gidx),
+                        plane.ctypes.data_as(ct.c_void_p),
+                        _p32(idc) if idc is not None else None,
+                        pstride, rstride, _p32(score))
 
     def _ext_phase(self, ctx):
         lib = self.lib

@@ -2632,8 +2632,23 @@ static void staged_phase3(BatchCtx& c, int64_t i) {
 // ---- staged-result decode walkers (EOL-producing twins of the
 // yt_traceback_* batch walkers / ops/dp_common.py) ----
 
-enum { FMT_NATIVE = 0, FMT_EOIDC = 1, FMT_PACKED = 2, FMT_PACKED_BAND = 3 };
+enum { FMT_NATIVE = 0, FMT_EOIDC = 1, FMT_PACKED = 2, FMT_PACKED_BAND = 3,
+       FMT_RLE = 4 };
 static const int BT_OP = 7, BT_CD = 8, BT_CF = 16;
+
+// FMT_RLE: the walk already ran on the device (ops/decode_jax.py); each
+// problem ships n_ops int32 items packed (op << 28 | len) in walk order
+// — the same run sequence the packed-plane walkers below produce before
+// their final list reversal.
+static void decode_rle_items(const int32_t* rle, int64_t n_ops,
+                             EOL& items) {
+    items.clear();
+    for (int64_t t = 0; t < n_ops; t++) {
+        int32_t e = rle[t];
+        items.push_back({kOpChars[(e >> 28) & 7],
+                         (int32_t)(e & 0x0FFFFFFF)});
+    }
+}
 
 static void decode_anchored_eoidc(const int8_t* e, const int32_t* d,
                                   int64_t row, int64_t qlen, int64_t rlen,
@@ -3140,9 +3155,11 @@ void yt_batch_gap_fetch(void* h, int64_t n, const int64_t* idx,
 // Apply gap-fill DP results.  format: FMT_NATIVE runs every problem on
 // the host DP (idx/arrays ignored, n ignored); FMT_EOIDC takes int8 eo +
 // int32 idc planes; FMT_PACKED a packed full-coordinate plane;
-// FMT_PACKED_BAND a packed band-relative plane (row_stride = wband).
-// plane_stride/row_stride are in elements.  Each problem touches only
-// its own SFrag, so decode+apply parallelizes over problems.
+// FMT_PACKED_BAND a packed band-relative plane (row_stride = wband);
+// FMT_RLE device-decoded run-length items (plane = int32 items, idc =
+// per-problem item counts, row_stride unused).  plane_stride/row_stride
+// are in elements.  Each problem touches only its own SFrag, so
+// decode+apply parallelizes over problems.
 int yt_batch_gap_apply(void* h, int64_t format, int64_t n,
                        const int64_t* idx, const void* plane,
                        const int32_t* idc, int64_t plane_stride,
@@ -3173,7 +3190,11 @@ int yt_batch_gap_apply(void* h, int64_t format, int64_t n,
         else if (format == FMT_PACKED)
             decode_anchored_packed((const uint8_t*)plane + k * plane_stride,
                                    row_stride, p.qlen, p.rlen, sf.eol);
-        else
+        else if (format == FMT_RLE) {
+            decode_rle_items((const int32_t*)plane + k * plane_stride,
+                             idc[k], sf.eol);
+            std::reverse(sf.eol.begin(), sf.eol.end());
+        } else
             decode_anchored_banded((const uint8_t*)plane + k * plane_stride,
                                    row_stride, p.qlen, p.rlen, p.lbw,
                                    sf.eol);
@@ -3218,8 +3239,10 @@ void yt_batch_ext_fetch(void* h, int64_t n, const int64_t* idx,
 
 // Apply extension DP results.  FMT_NATIVE runs the host DP over all
 // problems; FMT_EOIDC / FMT_PACKED decode banded-layout planes from
-// (maxi, maxj).  Two extensions can share a clump (back + forward), so
-// decode runs parallel into scratch and the merges apply serially.
+// (maxi, maxj); FMT_RLE takes device-decoded run-length items (plane =
+// int32 items in walk order, idc = per-problem item counts).  Two
+// extensions can share a clump (back + forward), so decode runs
+// parallel into scratch and the merges apply serially.
 int yt_batch_ext_apply(void* h, int64_t format, int64_t n,
                        const int64_t* idx, const void* plane,
                        const int32_t* idc, int64_t plane_stride,
@@ -3267,7 +3290,13 @@ int yt_batch_ext_apply(void* h, int64_t format, int64_t n,
                              maxi[k], maxj[k],
                              c.ext_ptr[(size_t)idx[k]]->reverse != 0,
                              items[(size_t)k]);
-        else
+        else if (format == FMT_RLE) {
+            EOL& it = items[(size_t)k];
+            decode_rle_items((const int32_t*)plane + k * plane_stride,
+                             idc[k], it);
+            if (!c.ext_ptr[(size_t)idx[k]]->reverse)
+                std::reverse(it.begin(), it.end());
+        } else
             decode_ext_packed((const uint8_t*)plane + k * plane_stride,
                               row_stride, maxi[k], maxj[k],
                               c.ext_ptr[(size_t)idx[k]]->reverse != 0,

@@ -1,0 +1,187 @@
+"""On-device run-length decode of packed DP backtrack planes.
+
+The staged TPU engine's dominant device->host transfer is the backtrack
+planes (BASELINE.md round-3: 107 MB per 5k x 1kb batch even after
+row-tier compaction), while the information actually consumed by the
+host is the run-length EditOp list — a few hundred bytes per problem.
+This module performs the backtrack walk on the device and ships only the
+packed (op, run_length) items.
+
+Walk semantics are exactly ops/dp_common.traceback_*_packed (themselves
+twins of the reference backtrack, SW.cpp:1137-1195), verified
+bit-identical in tests/test_decode_jax.py:
+
+  * delete runs and match/replace runs jump whole runs per loop step;
+    run lengths are reconstructed from the packed continue-bit chains
+    with vectorized prefix ops (a delete run's entry cell is its
+    rightmost, so its stored run counter equals the distance to the last
+    clear-CD cell in the row; a match run's length is the distance to
+    the last op change up its movement axis);
+  * insert runs (rare: capped at maxGap, and absent from most problems)
+    step one cell per iteration along the packed BT_CF chain, because
+    the chain direction is diagonal in the band layouts and a whole-run
+    jump would need a sheared prefix pass that costs more than the rare
+    steps it saves;
+  * jump lengths are capped at 255 so the precomputed jump plane stays
+    uint8; capped runs take extra jumps and re-merge on emit, which is
+    byte-equivalent (the host walkers merge adjacent same-op runs the
+    same way, dp_common.traceback_extension_packed).
+
+Items are emitted in walk order (from the max/anchor cell backwards),
+packed as int32 (op << 28 | len); the native FMT_RLE apply
+(yaha_pipe.cpp yt_batch_{ext,gap}_apply) reverses them into final list
+order exactly where the plane walkers do.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .dp_common import OP_MATCH, OP_REPLACE, OP_INSERT, OP_DELETE
+
+RLE_OP_SHIFT = 28
+RLE_LEN_MASK = (1 << RLE_OP_SHIFT) - 1
+JUMP_CAP = 255  # uint8 jump plane; longer runs re-merge on emit
+
+
+def _jump_plane(op, cd, up_dx):
+    """uint8 plane of per-cell whole-run jump lengths.
+
+    At a cell entered with op DELETE the walk consumes the delete run
+    ending there: its length is the distance to the rightmost clear-CD
+    cell at-or-left in the row (the kernels store BT_CD = "run continues
+    one cell left", so clear-CD marks run starts).  At a cell entered
+    with op MATCH/REPLACE the walk would step (up_dy, up_dx) while the
+    op repeats; that run length is the distance to the last op change
+    along the movement axis.  Cells entered with other ops jump 1.
+    """
+    n, h, w = op.shape
+    xs = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    last0 = jax.lax.cummax(jnp.where(cd == 0, xs, -1), axis=2)
+    pd = jnp.clip(xs - last0 + 1, 1, JUMP_CAP)
+
+    is_mr = (op >= OP_MATCH) & (op <= OP_REPLACE)
+    if up_dx == 0:
+        same = (op[:, 1:, :] == op[:, :-1, :]) & is_mr[:, 1:, :]
+        rst = jnp.concatenate(
+            [jnp.ones((n, 1, w), bool), ~same], axis=1)
+    else:  # full-coordinate layout: match steps move (y-1, x-1)
+        same = (op[:, 1:, 1:] == op[:, :-1, :-1]) & is_mr[:, 1:, 1:]
+        rst = jnp.ones((n, h, w), bool).at[:, 1:, 1:].set(~same)
+    if up_dx == 0:
+        ys = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+        lastr = jax.lax.cummax(jnp.where(rst, ys, -1), axis=1)
+        mr = jnp.clip(ys - lastr + 1, 1, JUMP_CAP)
+    else:
+        # Diagonal chains: run length along the (y-1, x-1) direction.
+        # Shear rows so the diagonal becomes a column, cummax, unshear.
+        # Only the small full-coordinate gap planes take this path.
+        k = xs - jnp.arange(h, dtype=jnp.int32)[None, :, None] + (h - 1)
+        ww = w + h - 1
+        ys = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+        rst_s = jnp.ones((n, h, ww), bool)
+        rst_s = _scatter_rows(rst_s, rst, k)
+        lastr_s = jax.lax.cummax(jnp.where(rst_s, ys, -1), axis=1)
+        kb = jnp.broadcast_to(k, (n, h, w))
+        lastr = jnp.take_along_axis(lastr_s, kb, axis=2)
+        mr = jnp.clip(ys - lastr + 1, 1, JUMP_CAP)
+
+    jmp = jnp.where(op == OP_DELETE, pd, jnp.where(is_mr, mr, 1))
+    return jmp.astype(jnp.uint8)
+
+
+def _scatter_rows(dst, src, k):
+    """dst[n, y, k[y, x]] = src[n, y, x] (shear helper)."""
+    n, h, w = src.shape
+    ww = dst.shape[2]
+    cols = jnp.broadcast_to(k, (n, h, w))
+    return dst.at[
+        jnp.arange(n)[:, None, None],
+        jnp.arange(h)[None, :, None],
+        cols].set(src, mode="drop")
+
+
+def _rle_walk(bt, jmp, y0, x0, active0, *, cap, max_iters, moves):
+    """Shared walk loop.  `moves` = (mr_dx, ins_dx): a match/replace
+    step moves (y-1, x-mr_dx) (mr_dx 0 in band layouts, 1 in full
+    coordinates); a delete step moves (y, x-L); an insert step moves
+    (y-1, x+ins_dx) (ins_dx 1 for the diagonal band-layout BT_CF
+    chains, 0 for full)."""
+    mr_dx, ins_dx = moves
+    n, h, w = bt.shape
+    bt_flat = bt.reshape(n, h * w).astype(jnp.int32) & 0xFF
+    jmp_flat = jmp.reshape(n, h * w)
+    rows = jnp.arange(n, dtype=jnp.int32)
+
+    def gather(plane, y, x):
+        idx = (jnp.clip(y, 0, h - 1) * w + jnp.clip(x, 0, w - 1))
+        return jnp.take_along_axis(plane, idx[:, None], axis=1)[:, 0]
+
+    def cond(s):
+        return (s[0] < max_iters) & jnp.any(s[5])
+
+    def body(s):
+        t, y, x, ins, prev, act, run, cur, out = s
+        b = gather(bt_flat, y, x)
+        code = jnp.where(ins == 1, OP_INSERT, b & 7)
+        is_end = act & (ins == 0) & (code == 0)
+        do = act & ~is_end
+        is_d = do & (code == OP_DELETE)
+        is_i = do & (code == OP_INSERT)
+        is_mr = do & (code >= OP_MATCH) & (code <= OP_REPLACE)
+        jl = gather(jmp_flat, y, x).astype(jnp.int32)
+        ln = jnp.where(is_i, 1, jl)
+
+        # Flush the pending run when the op changes or the walk ends.
+        flush = (prev != 0) & ((do & (code != prev)) | is_end)
+        entry = (prev << RLE_OP_SHIFT) | run
+        col = jnp.where(flush, cur, cap)
+        out = out.at[rows, col].set(entry, mode="drop")
+        cur = cur + flush
+        new_run = do & ((code != prev) | (prev == 0))
+        run = jnp.where(new_run, ln, jnp.where(do, run + ln, run))
+        prev = jnp.where(do, code, jnp.where(is_end, 0, prev))
+
+        y = y - jnp.where(is_mr, ln, 0) - jnp.where(is_i, 1, 0)
+        x = (x - jnp.where(is_mr, mr_dx * ln, 0)
+             - jnp.where(is_d, ln, 0) + jnp.where(is_i, ins_dx, 0))
+        cf = ((b >> 4) & 1) == 1
+        ins = jnp.where(is_i & cf, 1, 0)
+        act = act & ~is_end
+        return (t + 1, y, x, ins, prev, act, run, cur, out)
+
+    state = (jnp.int32(0), y0.astype(jnp.int32), x0.astype(jnp.int32),
+             jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+             active0, jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+             jnp.zeros((n, cap), jnp.int32))
+    s = jax.lax.while_loop(cond, body, state)
+    return s[8], s[7]  # (rle [n, cap], n_ops [n])
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "max_iters"))
+def rle_decode_band(bt, y0, x0, active0, *, cap, max_iters):
+    """Decode band-layout packed planes (the extension kernel and the
+    band-relative anchored kernel): match/replace steps move (y-1, x),
+    delete (y, x-1), insert (y-1, x+1).  Twin of
+    dp_common.traceback_extension_packed /
+    traceback_anchored_banded_packed up to the final list reversal,
+    which the consumer applies.  Returns (rle [n, cap] int32, n_ops [n])
+    with items packed op << 28 | len in walk order."""
+    b = bt.astype(jnp.int32) & 0xFF
+    jmp = _jump_plane(b & 7, (b >> 3) & 1, 0)
+    return _rle_walk(bt, jmp, y0, x0, active0, cap=cap,
+                     max_iters=max_iters, moves=(0, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "max_iters"))
+def rle_decode_full(bt, y0, x0, active0, *, cap, max_iters):
+    """Decode full-coordinate packed planes (the full-matrix anchored
+    kernel): match/replace steps move (y-1, x-1), delete (y, x-1),
+    insert (y-1, x).  Twin of dp_common.traceback_anchored_packed up to
+    the final list reversal."""
+    b = bt.astype(jnp.int32) & 0xFF
+    jmp = _jump_plane(b & 7, (b >> 3) & 1, 1)
+    return _rle_walk(bt, jmp, y0, x0, active0, cap=cap,
+                     max_iters=max_iters, moves=(1, 0))
