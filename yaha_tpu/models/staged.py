@@ -37,9 +37,9 @@ _u32p = ct.POINTER(ct.c_uint32)
 FMT_NATIVE, FMT_EOIDC, FMT_PACKED, FMT_PACKED_BAND, FMT_RLE = 0, 1, 2, 3, 4
 
 # Device-decode slice bound: rle_decode_* precomputes jump planes with
-# int32 intermediates, so decode runs over problem slices holding at
-# most this many plane cells to bound transient HBM.
-DECODE_MAX_CELLS = 1 << 28
+# a few bytes/cell of transients, so decode runs over problem slices
+# holding at most this many plane cells to bound transient HBM.
+DECODE_MAX_CELLS = 1 << 29
 
 # Largest device problem batch per launch: buckets beyond this split
 # into fixed-shape slices (so arbitrarily large chunks reuse ONE
@@ -160,28 +160,46 @@ class StagedAligner:
                           x0[lo:lo + sl], active[lo:lo + sl],
                           cap=cap, max_iters=max_iters)
             outs.append(r)
-            counts.append(np.asarray(c))
+            counts.append(c)
         rle = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
-        return rle, np.concatenate(counts)
+        cnt = counts[0] if len(counts) == 1 else jnp.concatenate(counts)
+        return rle, np.asarray(cnt)    # one blocking d2h for the counts
 
     def _rle_parts(self, rle_dev, nops, n, cap):
         """Tier-compact device RLE rows by per-problem item count before
-        d2h (the ops-count twin of the row-tier plane compaction);
-        yields (lidx, items array, tier)."""
-        import jax.numpy as jnp
+        d2h (the ops-count twin of the row-tier plane compaction), as a
+        SINGLE ragged device gather + one transfer — per-tier transfers
+        each pay a blocking round trip on a remote-TPU link; yields
+        (lidx, items array, tier)."""
+        from ..ops import decode_jax
         tiers = np.minimum(_pow2_arr(np.maximum(nops[:n], 1), 8), cap)
+        order = np.argsort(tiers, kind="stable")
+        t_sorted = tiers[order]
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(t_sorted, out=starts[1:])
+        total = int(starts[n])
+        total_pad = _pow2(total, 1024)
+        n_pad = _pow2(n, 256)
+        src_aug = np.zeros(n_pad + 1, np.int32)
+        src_aug[:n] = order
+        t_aug = np.zeros(n_pad + 1, np.int64)
+        t_aug[:n] = t_sorted
+        t_aug[n_pad] = total_pad - total
+        starts_aug = np.full(n_pad + 1, total, np.int64)
+        starts_aug[:n] = starts[:n]
+        flat = decode_jax.gather_rle_flat(rle_dev, src_aug, t_aug,
+                                          starts_aug, cap=cap,
+                                          total_pad=total_pad)
+        arr = np.asarray(flat)
+        self.stats["d2h_bytes"] += 4 * total + 4 * n
         parts = []
-        for t in np.unique(tiers):
-            lidx = np.nonzero(tiers == t)[0]
-            lp = _pow2(len(lidx), 256)
-            pad_idx = np.zeros(lp, np.int32)
-            pad_idx[:len(lidx)] = lidx
-            sub = jnp.take(rle_dev, jnp.asarray(pad_idx),
-                           axis=0)[:, :int(t)]
-            arr = np.ascontiguousarray(np.asarray(sub)[:len(lidx)])
-            self.stats["d2h_bytes"] += arr.nbytes
-            parts.append((lidx, arr, int(t)))
-        self.stats["d2h_bytes"] += 4 * n
+        g0 = 0
+        while g0 < n:
+            t = int(t_sorted[g0])
+            g1 = int(np.searchsorted(t_sorted, t, side="right"))
+            block = arr[int(starts[g0]):int(starts[g1])]
+            parts.append((order[g0:g1], block.reshape(g1 - g0, t), t))
+            g0 = g1
         return parts
 
     def _run_gap_bucket(self, qa, qlens, ra, rlens, lbws, rbws):
@@ -211,15 +229,18 @@ class StagedAligner:
             ql_p = np.pad(qlens, (0, pad))
             rl_p = np.pad(rlens, (0, pad))
             lb_p = np.pad(lbws, (0, pad))
-            args = (np.pad(qa, ((0, pad), (0, 0))), ql_p,
-                    np.pad(ra, ((0, pad), (0, 0))), rl_p,
-                    lb_p, np.pad(rbws, (0, pad)))
+            # 4-bit-packed uploads (codes are 4-bit): halves h2d.
+            self.stats["h2d_bytes"] -= (qa.nbytes + ra.nbytes + 1) // 2
+            args = (np.pad(sw_pallas.pack4_host(qa), ((0, pad), (0, 0))),
+                    ql_p,
+                    np.pad(sw_pallas.pack4_host(ra), ((0, pad), (0, 0))),
+                    rl_p, lb_p, np.pad(rbws, (0, pad)))
             if banded:
-                out = sw_pallas.anchored_forward_pallas_banded(
+                out = sw_pallas.anchored_forward_pallas_banded_p4(
                     *args, wband=wband, interpret=self.interpret, **kw)
                 bt_dev, w = out["bt_b"], wband
             else:
-                out = sw_pallas.anchored_forward_pallas(
+                out = sw_pallas.anchored_forward_pallas_p4(
                     *args, interpret=self.interpret, **kw)
                 bt_dev, w = out["bt"], rg + 1
             score = np.ascontiguousarray(
@@ -301,20 +322,29 @@ class StagedAligner:
             # compiled dimension, so unpadded batches would recompile
             # per chunk (minutes each through a remote-TPU link).
             pad = _pow2(n, sw_pallas.TILE) - n
-            out = sw_pallas.extension_forward_pallas(
-                np.pad(qa, ((0, pad), (0, 0))), np.pad(qlens, (0, pad)),
-                np.pad(ra, ((0, pad), (0, 0)), constant_values=255),
+            # 4-bit-packed uploads (codes are 4-bit): halves h2d.
+            self.stats["h2d_bytes"] -= (qa.nbytes + ra.nbytes + 1) // 2
+            out = sw_pallas.extension_forward_pallas_p4(
+                np.pad(sw_pallas.pack4_host(qa), ((0, pad), (0, 0))),
+                np.pad(qlens, (0, pad)),
+                np.pad(sw_pallas.pack4_host(ra), ((0, pad), (0, 0)),
+                       constant_values=255),
                 np.pad(rlens, (0, pad)), interpret=self.interpret, **kw)
-            score = np.ascontiguousarray(
-                np.asarray(out["score"])[:n].astype(np.int32))
-            maxi = np.ascontiguousarray(
-                np.asarray(out["maxi"])[:n].astype(np.int32))
-            maxj = np.ascontiguousarray(
-                np.asarray(out["maxj"])[:n].astype(np.int32))
-            if self.rle:
-                # On-device run-length decode: the plane never leaves
-                # HBM; only (op, len) items transfer, tier-compacted by
-                # per-problem item count.
+            # One stacked transfer for the three per-problem scalars
+            # (three separate d2h calls each pay a round trip).
+            import jax.numpy as jnp
+            smm = np.asarray(jnp.stack([out["score"], out["maxi"],
+                                        out["maxj"]]))
+            score = np.ascontiguousarray(smm[0, :n].astype(np.int32))
+            maxi = np.ascontiguousarray(smm[1, :n].astype(np.int32))
+            maxj = np.ascontiguousarray(smm[2, :n].astype(np.int32))
+            # On-device run-length decode: the plane never leaves HBM;
+            # only (op, len) items transfer, tier-compacted by
+            # per-problem item count.  Row tiers beyond 16k (wide-score
+            # long reads) fall back to the plane path: the decode's
+            # jump-plane transients scale with rows x TILE and would
+            # not fit HBM there.
+            if self.rle and qa.shape[1] <= 16384:
                 from ..ops import decode_jax
                 w = out["bt"].shape[2]
                 bound = 2 * qa.shape[1] + w + 2

@@ -53,13 +53,19 @@ def _jump_plane(op, cd, up_dx):
     ending there: its length is the distance to the rightmost clear-CD
     cell at-or-left in the row (the kernels store BT_CD = "run continues
     one cell left", so clear-CD marks run starts).  At a cell entered
-    with op MATCH/REPLACE the walk would step (up_dy, up_dx) while the
-    op repeats; that run length is the distance to the last op change
-    along the movement axis.  Cells entered with other ops jump 1.
+    with op MATCH/REPLACE the walk would step up its movement axis while
+    the op repeats; that run length is the distance to the last op
+    change along that axis.  Cells entered with other ops jump 1.
+
+    op/cd arrive as int8 bit fields and prefix indices use the narrowest
+    dtype that holds the axis, keeping the transients (which scale with
+    n*h*w) at a couple of bytes per plane cell.
     """
     n, h, w = op.shape
-    xs = jnp.arange(w, dtype=jnp.int32)[None, None, :]
-    last0 = jax.lax.cummax(jnp.where(cd == 0, xs, -1), axis=2)
+    xdt = jnp.int16 if w < 32768 else jnp.int32
+    ydt = jnp.int16 if h < 32768 else jnp.int32
+    xs = jnp.arange(w, dtype=xdt)[None, None, :]
+    last0 = jax.lax.cummax(jnp.where(cd == 0, xs, xdt(-1)), axis=2)
     pd = jnp.clip(xs - last0 + 1, 1, JUMP_CAP)
 
     is_mr = (op >= OP_MATCH) & (op <= OP_REPLACE)
@@ -67,18 +73,18 @@ def _jump_plane(op, cd, up_dx):
         same = (op[:, 1:, :] == op[:, :-1, :]) & is_mr[:, 1:, :]
         rst = jnp.concatenate(
             [jnp.ones((n, 1, w), bool), ~same], axis=1)
-    else:  # full-coordinate layout: match steps move (y-1, x-1)
-        same = (op[:, 1:, 1:] == op[:, :-1, :-1]) & is_mr[:, 1:, 1:]
-        rst = jnp.ones((n, h, w), bool).at[:, 1:, 1:].set(~same)
-    if up_dx == 0:
-        ys = jnp.arange(h, dtype=jnp.int32)[None, :, None]
-        lastr = jax.lax.cummax(jnp.where(rst, ys, -1), axis=1)
+        ys = jnp.arange(h, dtype=ydt)[None, :, None]
+        lastr = jax.lax.cummax(jnp.where(rst, ys, ydt(-1)), axis=1)
         mr = jnp.clip(ys - lastr + 1, 1, JUMP_CAP)
     else:
-        # Diagonal chains: run length along the (y-1, x-1) direction.
-        # Shear rows so the diagonal becomes a column, cummax, unshear.
-        # Only the small full-coordinate gap planes take this path.
-        k = xs - jnp.arange(h, dtype=jnp.int32)[None, :, None] + (h - 1)
+        # Full-coordinate layout: match steps move (y-1, x-1), so the
+        # chains are diagonal.  Shear rows so the diagonal becomes a
+        # column, cummax, unshear.  Only the small full-coordinate gap
+        # planes take this path.
+        same = (op[:, 1:, 1:] == op[:, :-1, :-1]) & is_mr[:, 1:, 1:]
+        rst = jnp.ones((n, h, w), bool).at[:, 1:, 1:].set(~same)
+        k = (xs.astype(jnp.int32)
+             - jnp.arange(h, dtype=jnp.int32)[None, :, None] + (h - 1))
         ww = w + h - 1
         ys = jnp.arange(h, dtype=jnp.int32)[None, :, None]
         rst_s = jnp.ones((n, h, ww), bool)
@@ -88,8 +94,10 @@ def _jump_plane(op, cd, up_dx):
         lastr = jnp.take_along_axis(lastr_s, kb, axis=2)
         mr = jnp.clip(ys - lastr + 1, 1, JUMP_CAP)
 
-    jmp = jnp.where(op == OP_DELETE, pd, jnp.where(is_mr, mr, 1))
-    return jmp.astype(jnp.uint8)
+    jmp = jnp.where(op == OP_DELETE, pd.astype(jnp.uint8),
+                    jnp.where(is_mr, mr.astype(jnp.uint8),
+                              jnp.uint8(1)))
+    return jmp
 
 
 def _scatter_rows(dst, src, k):
@@ -111,7 +119,7 @@ def _rle_walk(bt, jmp, y0, x0, active0, *, cap, max_iters, moves):
     chains, 0 for full)."""
     mr_dx, ins_dx = moves
     n, h, w = bt.shape
-    bt_flat = bt.reshape(n, h * w).astype(jnp.int32) & 0xFF
+    bt_flat = bt.reshape(n, h * w)          # int8, bits 0-4 only
     jmp_flat = jmp.reshape(n, h * w)
     rows = jnp.arange(n, dtype=jnp.int32)
 
@@ -124,7 +132,7 @@ def _rle_walk(bt, jmp, y0, x0, active0, *, cap, max_iters, moves):
 
     def body(s):
         t, y, x, ins, prev, act, run, cur, out = s
-        b = gather(bt_flat, y, x)
+        b = gather(bt_flat, y, x).astype(jnp.int32)
         code = jnp.where(ins == 1, OP_INSERT, b & 7)
         is_end = act & (ins == 0) & (code == 0)
         do = act & ~is_end
@@ -169,8 +177,7 @@ def rle_decode_band(bt, y0, x0, active0, *, cap, max_iters):
     traceback_anchored_banded_packed up to the final list reversal,
     which the consumer applies.  Returns (rle [n, cap] int32, n_ops [n])
     with items packed op << 28 | len in walk order."""
-    b = bt.astype(jnp.int32) & 0xFF
-    jmp = _jump_plane(b & 7, (b >> 3) & 1, 0)
+    jmp = _jump_plane(bt & 7, (bt >> 3) & 1, 0)
     return _rle_walk(bt, jmp, y0, x0, active0, cap=cap,
                      max_iters=max_iters, moves=(0, 1))
 
@@ -181,7 +188,25 @@ def rle_decode_full(bt, y0, x0, active0, *, cap, max_iters):
     kernel): match/replace steps move (y-1, x-1), delete (y, x-1),
     insert (y-1, x).  Twin of dp_common.traceback_anchored_packed up to
     the final list reversal."""
-    b = bt.astype(jnp.int32) & 0xFF
-    jmp = _jump_plane(b & 7, (b >> 3) & 1, 1)
+    jmp = _jump_plane(bt & 7, (bt >> 3) & 1, 1)
     return _rle_walk(bt, jmp, y0, x0, active0, cap=cap,
                      max_iters=max_iters, moves=(1, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "total_pad"))
+def gather_rle_flat(rle, src_aug, t_aug, starts_aug, *, cap, total_pad):
+    """One-shot ragged gather of per-problem RLE item slots into a flat
+    device array, so a whole bucket's items leave the device in a single
+    transfer (per-tier gathers each cost a blocking round trip on a
+    remote-TPU link).  src_aug / t_aug / starts_aug are the tier-sorted
+    problem ids, their item-slot counts, and exclusive start offsets,
+    augmented with one sentinel entry whose count pads the total to
+    total_pad; all built host-side from the item counts."""
+    m = src_aug.shape[0]
+    pid = jnp.repeat(jnp.arange(m, dtype=jnp.int32), t_aug,
+                     total_repeat_length=total_pad)
+    base = jnp.repeat(starts_aug, t_aug, total_repeat_length=total_pad)
+    srcp = jnp.take(src_aug, pid)
+    pos = jnp.arange(total_pad, dtype=jnp.int64)
+    idx = srcp.astype(jnp.int64) * cap + (pos - base)
+    return jnp.take(rle.reshape(-1), idx, mode="clip")

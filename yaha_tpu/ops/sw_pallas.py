@@ -586,6 +586,58 @@ def anchored_forward_pallas_banded(q, qlens, r, rlens, left_bw, right_bw,
     return {"score": score, "bt_b": bt_b}
 
 
+def _unpack4(p):
+    """Unpack two 4-bit codes per byte: [n, g/2] uint8 -> [n, g].
+    DNA codes are 4-bit (Math.inl:37-117), so problem uploads travel
+    packed — host->device bytes halve on a remote-TPU link — and unpack
+    on-device before the kernels.  Byte 255 pads unpack to code 15,
+    which no query code uses (codes are 0-14), so padding stays a
+    guaranteed mismatch exactly like the unpacked 255 fill."""
+    lo = p & jnp.uint8(0xF)
+    hi = p >> 4
+    return jnp.stack([lo, hi], axis=-1).reshape(p.shape[0],
+                                                2 * p.shape[1])
+
+
+def pack4_host(a):
+    """numpy host-side packer (codes <= 15; pad bytes 255 stay 255)."""
+    import numpy as np
+    return (a[:, ::2] | (a[:, 1::2] << 4)).astype(np.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("band_width", "go", "ge", "rc", "ms", "max_gap",
+                     "max_intron", "x_cutoff", "interpret"))
+def extension_forward_pallas_p4(qp, qlens, rp, rlens, **kw):
+    """extension_forward_pallas with 4-bit-packed q/r uploads."""
+    return extension_forward_pallas(_unpack4(qp), qlens, _unpack4(rp),
+                                    rlens, **kw)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("go", "ge", "rc", "ms", "max_gap", "max_intron",
+                     "interpret"))
+def anchored_forward_pallas_p4(qp, qlens, rp, rlens, left_bw, right_bw,
+                               **kw):
+    """anchored_forward_pallas with 4-bit-packed q/r uploads."""
+    return anchored_forward_pallas(_unpack4(qp), qlens, _unpack4(rp),
+                                   rlens, left_bw, right_bw, **kw)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wband", "go", "ge", "rc", "ms", "max_gap",
+                     "max_intron", "interpret"))
+def anchored_forward_pallas_banded_p4(qp, qlens, rp, rlens, left_bw,
+                                      right_bw, **kw):
+    """anchored_forward_pallas_banded with 4-bit-packed q/r uploads."""
+    return anchored_forward_pallas_banded(_unpack4(qp), qlens,
+                                          _unpack4(rp), rlens, left_bw,
+                                          right_bw, **kw)
+
+
 def unpack_backtrack(bt, insert_chain):
     """Expand a packed backtrack plane to the XLA twins' (eo, idc).
 
