@@ -459,6 +459,12 @@ def _do_query(aa):
         backend = {"batch-xla": "xla", "batch-pallas": "pallas"}[engine]
         if engine == "batch-pallas":
             _setup_compile_cache()
+        if not getattr(aa, "batch_size", 0):
+            # Smaller default batches than the pure-host engine so the
+            # depth-2 prefetch has batches to overlap (host phases of
+            # batch k+1 under batch k's device DP); still dense enough
+            # to fill the device launch tiers.
+            aa.batch_size = 16384
         aligner = StagedAligner(aa, genome, index, backend=backend,
                                 n_threads=aa.num_threads)
 
@@ -659,10 +665,8 @@ def _run_native_engine(aa, genome, index, align_fn=None, dp_stats=None):
     import ctypes as _ct
     dist_acc = [0, 0, (1 << 62), 0, 0, (1 << 62), 0, 0, 0, (1 << 62), -1] \
         if aa.verbose else None
-    try:
-        if start_read == 0:
-            emit_q.put((sam.file_header(aa, genome).encode("latin-1"),
-                        None))
+    def _batches():
+        nonlocal done
         for chunk, fastq in _iter_query_chunks(aa.qfile_name):
             with timers.stage("parse"):
                 pr = host.parse_queries_native(
@@ -673,39 +677,81 @@ def _run_native_engine(aa, genome, index, align_fn=None, dp_stats=None):
                 hi = min(lo + batch_size, pr.n)
                 if base + hi <= start_read:
                     continue   # resume: whole batch already emitted
-                # Partial overlap (e.g. a different --batch-size than the
-                # interrupted run): start inside the batch.
-                lo = max(lo, start_read - base)
-                dist = (_ct.c_int64 * 11)() if dist_acc is not None \
-                    else None
-                with timers.stage("align batch"):
-                    if align_fn is not None:
-                        text, stats, sm, nr = align_fn(pr, lo, hi,
-                                                       dist=dist)
-                    else:
-                        text, stats, sm, nr = host.align_batch_native(
-                            pr, lo, hi, genome, index, aa,
-                            n_threads=aa.num_threads,
-                            want_stats=qs_file is not None, dist=dist)
-                seed_total += sm
-                rec_total += nr
-                if dist is not None:
-                    for k in (0, 1, 4, 7, 8):           # sums
-                        dist_acc[k] += dist[k]
-                    for k in (2, 5, 9):                 # mins
-                        dist_acc[k] = min(dist_acc[k], dist[k])
-                    for k in (3, 6, 10):                # maxes
-                        dist_acc[k] = max(dist_acc[k], dist[k])
-                if stats is not None:
-                    qs_file.write(stats.decode("latin-1"))
-                if emit_err:
-                    raise emit_err[0]
-                n = base + hi
-                emit_q.put((text, n))
+                # Partial overlap (e.g. a different --batch-size than
+                # the interrupted run): start inside the batch.
+                yield pr, max(lo, start_read - base), hi, base + hi
             if pr.stopped:
-                # Reference semantics: a zero-length record ends the run
-                # (Query.c:306).
-                break
+                # Reference semantics: a zero-length record ends the
+                # run (Query.c:306).
+                return
+
+    def _align_one(pr, lo, hi):
+        dist = (_ct.c_int64 * 11)() if dist_acc is not None else None
+        if align_fn is not None:
+            text, stats, sm, nr = align_fn(pr, lo, hi, dist=dist)
+        else:
+            text, stats, sm, nr = host.align_batch_native(
+                pr, lo, hi, genome, index, aa, n_threads=aa.num_threads,
+                want_stats=qs_file is not None, dist=dist)
+        return text, stats, sm, nr, dist
+
+    def _consume(res, n_done):
+        nonlocal n, seed_total, rec_total
+        text, stats, sm, nr, dist = res
+        seed_total += sm
+        rec_total += nr
+        if dist is not None:
+            for k in (0, 1, 4, 7, 8):           # sums
+                dist_acc[k] += dist[k]
+            for k in (2, 5, 9):                 # mins
+                dist_acc[k] = min(dist_acc[k], dist[k])
+            for k in (3, 6, 10):                # maxes
+                dist_acc[k] = max(dist_acc[k], dist[k])
+        if stats is not None:
+            qs_file.write(stats.decode("latin-1"))
+        if emit_err:
+            raise emit_err[0]
+        n = n_done
+        emit_q.put((text, n))
+
+    prefetch = (align_fn is not None
+                and os.environ.get("YT_STAGED_PREFETCH", "1") != "0")
+    try:
+        if start_read == 0:
+            emit_q.put((sam.file_header(aa, genome).encode("latin-1"),
+                        None))
+        if prefetch:
+            # Depth-2 batch pipeline for the staged device engines: the
+            # host phases of batch k+1 (parse/seed/chain/clumps/score/
+            # OQC/SAM in the native stages) overlap batch k's device DP
+            # round trips.  Batches are consumed in submission order, so
+            # output order and resume-cursor semantics are unchanged;
+            # StagedAligner's stats accumulator is lock-guarded.
+            import concurrent.futures as cf
+            from collections import deque
+            ex = cf.ThreadPoolExecutor(max_workers=2)
+            try:
+                pending = deque()
+                for pr, lo, hi, n_done in _batches():
+                    pending.append(
+                        (ex.submit(_align_one, pr, lo, hi), n_done))
+                    if len(pending) > 1:
+                        fut, nd = pending.popleft()
+                        with timers.stage("align batch"):
+                            res = fut.result()
+                        _consume(res, nd)
+                while pending:
+                    fut, nd = pending.popleft()
+                    with timers.stage("align batch"):
+                        res = fut.result()
+                    _consume(res, nd)
+            finally:
+                ex.shutdown(wait=True)
+        else:
+            for pr, lo, hi, n_done in _batches():
+                with timers.stage("align batch"):
+                    res = _align_one(pr, lo, hi)
+                _consume(res, n_done)
         emit_q.put(None)
         writer.join()
         if emit_err:

@@ -143,6 +143,16 @@ class StagedAligner:
         self.stats = {"dp_launches": 0, "h2d_bytes": 0, "d2h_bytes": 0,
                       "gap_problems": 0, "ext_problems": 0,
                       "gap_cells": 0, "ext_cells": 0, "device_s": 0.0}
+        # align_chunk may run concurrently from the CLI's prefetch
+        # pipeline (chunk k+1 host phases overlap chunk k device waits);
+        # the accumulator guards the read-modify-write.
+        import threading
+        self._stats_lock = threading.Lock()
+
+    def _acc(self, **kv):
+        with self._stats_lock:
+            for k, v in kv.items():
+                self.stats[k] += v
 
     # ---- DP backends ----
 
@@ -191,7 +201,7 @@ class StagedAligner:
                                           starts_aug, cap=cap,
                                           total_pad=total_pad)
         arr = np.asarray(flat)
-        self.stats["d2h_bytes"] += 4 * total + 4 * n
+        self._acc(d2h_bytes=(4 * total + 4 * n))
         parts = []
         g0 = 0
         while g0 < n:
@@ -215,8 +225,8 @@ class StagedAligner:
         rg = ra.shape[1]
         wband_need = int((lbws + rbws).max()) + 1
         wband = _pow2(wband_need)
-        self.stats["dp_launches"] += 1
-        self.stats["h2d_bytes"] += qa.nbytes + ra.nbytes
+        self._acc(dp_launches=(1))
+        self._acc(h2d_bytes=(qa.nbytes + ra.nbytes))
         t0 = time.time()
         if self.backend == "pallas" and (wband <= 512 and wband < rg + 1
                                          or rg <= 512):
@@ -230,7 +240,7 @@ class StagedAligner:
             rl_p = np.pad(rlens, (0, pad))
             lb_p = np.pad(lbws, (0, pad))
             # 4-bit-packed uploads (codes are 4-bit): halves h2d.
-            self.stats["h2d_bytes"] -= (qa.nbytes + ra.nbytes + 1) // 2
+            self._acc(h2d_bytes=-((qa.nbytes + ra.nbytes + 1) // 2))
             args = (np.pad(sw_pallas.pack4_host(qa), ((0, pad), (0, 0))),
                     ql_p,
                     np.pad(sw_pallas.pack4_host(ra), ((0, pad), (0, 0))),
@@ -266,12 +276,12 @@ class StagedAligner:
                         (lidx, FMT_RLE, arr,
                          np.ascontiguousarray(nops[lidx].astype(np.int32)),
                          t, 0, np.ascontiguousarray(score[lidx])))
-                self.stats["device_s"] += time.time() - t0
-                self.stats["d2h_bytes"] += score.nbytes
+                self._acc(device_s=(time.time() - t0))
+                self._acc(d2h_bytes=(score.nbytes))
                 return parts
             bt = np.ascontiguousarray(np.asarray(bt_dev)[:n])
-            self.stats["device_s"] += time.time() - t0
-            self.stats["d2h_bytes"] += bt.nbytes + score.nbytes
+            self._acc(device_s=(time.time() - t0))
+            self._acc(d2h_bytes=(bt.nbytes + score.nbytes))
             return [(np.arange(n), FMT_PACKED_BAND if banded
                      else FMT_PACKED, bt, None,
                      bt.shape[1] * bt.shape[2],
@@ -298,8 +308,8 @@ class StagedAligner:
         eo = np.ascontiguousarray(out["eo"][:n])
         idc = np.ascontiguousarray(out["idc"][:n].astype(np.int32))
         score = np.ascontiguousarray(out["score"][:n].astype(np.int32))
-        self.stats["device_s"] += time.time() - t0
-        self.stats["d2h_bytes"] += eo.nbytes + idc.nbytes + score.nbytes
+        self._acc(device_s=(time.time() - t0))
+        self._acc(d2h_bytes=(eo.nbytes + idc.nbytes + score.nbytes))
         return [(np.arange(n), FMT_EOIDC, eo, idc,
                  eo.shape[1] * eo.shape[2], eo.shape[2], score)]
 
@@ -313,8 +323,8 @@ class StagedAligner:
                   rc=aa.r_cost, ms=aa.m_score, max_gap=aa.max_gap,
                   max_intron=aa.max_intron, x_cutoff=aa.x_cutoff)
         n = qa.shape[0]
-        self.stats["dp_launches"] += 1
-        self.stats["h2d_bytes"] += qa.nbytes + ra.nbytes
+        self._acc(dp_launches=(1))
+        self._acc(h2d_bytes=(qa.nbytes + ra.nbytes))
         t0 = time.time()
         if self.backend == "pallas":
             from ..ops import sw_pallas
@@ -323,7 +333,7 @@ class StagedAligner:
             # per chunk (minutes each through a remote-TPU link).
             pad = _pow2(n, sw_pallas.TILE) - n
             # 4-bit-packed uploads (codes are 4-bit): halves h2d.
-            self.stats["h2d_bytes"] -= (qa.nbytes + ra.nbytes + 1) // 2
+            self._acc(h2d_bytes=-((qa.nbytes + ra.nbytes + 1) // 2))
             out = sw_pallas.extension_forward_pallas_p4(
                 np.pad(sw_pallas.pack4_host(qa), ((0, pad), (0, 0))),
                 np.pad(qlens, (0, pad)),
@@ -362,8 +372,8 @@ class StagedAligner:
                          np.ascontiguousarray(maxi[lidx]),
                          np.ascontiguousarray(maxj[lidx]),
                          np.ascontiguousarray(score[lidx])))
-                self.stats["device_s"] += time.time() - t0
-                self.stats["d2h_bytes"] += 12 * n
+                self._acc(device_s=(time.time() - t0))
+                self._acc(d2h_bytes=(12 * n))
                 return parts
             # Per-problem plane compaction before d2h: the backtrack
             # walks DOWN from (maxi, maxj), so a problem only needs
@@ -390,14 +400,14 @@ class StagedAligner:
                                axis=0)[:, :int(t), :]
                 btp = np.ascontiguousarray(
                     np.asarray(sub)[:len(lidx)])
-                self.stats["d2h_bytes"] += btp.nbytes
+                self._acc(d2h_bytes=(btp.nbytes))
                 parts.append((lidx, FMT_PACKED, btp, None,
                               btp.shape[1] * btp.shape[2], btp.shape[2],
                               np.ascontiguousarray(maxi[lidx]),
                               np.ascontiguousarray(maxj[lidx]),
                               np.ascontiguousarray(score[lidx])))
-            self.stats["device_s"] += time.time() - t0
-            self.stats["d2h_bytes"] += 12 * n
+            self._acc(device_s=(time.time() - t0))
+            self._acc(d2h_bytes=(12 * n))
             return parts
         if self.backend == "native":
             out = host.extension_forward(qa, qlens.astype(np.int64), ra,
@@ -418,8 +428,8 @@ class StagedAligner:
         score = np.ascontiguousarray(out["score"][:n].astype(np.int32))
         maxi = np.ascontiguousarray(out["maxi"][:n].astype(np.int32))
         maxj = np.ascontiguousarray(out["maxj"][:n].astype(np.int32))
-        self.stats["device_s"] += time.time() - t0
-        self.stats["d2h_bytes"] += eo.nbytes + idc.nbytes + 12 * n
+        self._acc(device_s=(time.time() - t0))
+        self._acc(d2h_bytes=(eo.nbytes + idc.nbytes + 12 * n))
         return [(np.arange(n), FMT_EOIDC, eo, idc,
                  eo.shape[1] * eo.shape[2], eo.shape[2], maxi, maxj,
                  score)]
@@ -429,7 +439,7 @@ class StagedAligner:
     def _gap_phase(self, ctx):
         lib = self.lib
         n = int(lib.yt_batch_gap_count(ctx))
-        self.stats["gap_problems"] += n
+        self._acc(gap_problems=(n))
         if n == 0:
             return
         if self.backend == "native" and self.inline_small:
@@ -461,8 +471,8 @@ class StagedAligner:
                 rl_b = rlen[idx].astype(np.int64)
                 lb_b = lbw[idx].astype(np.int64)
                 rb_b = rbw[idx].astype(np.int64)
-                self.stats["gap_cells"] += int(
-                    (np.minimum(lb_b + rb_b + 1, rl_b + 1) * ql_b).sum())
+                self._acc(gap_cells=int(
+                    (np.minimum(lb_b + rb_b + 1, rl_b + 1) * ql_b).sum()))
                 for (lidx, fmt, plane, idc, pstride, rstride,
                      score) in self._run_gap_bucket(qa, ql_b, ra, rl_b,
                                                     lb_b, rb_b):
@@ -476,7 +486,7 @@ class StagedAligner:
     def _ext_phase(self, ctx):
         lib = self.lib
         n = int(lib.yt_batch_ext_count(ctx))
-        self.stats["ext_problems"] += n
+        self._acc(ext_problems=(n))
         if n == 0:
             return
         if self.backend == "native" and self.inline_small:
@@ -502,8 +512,8 @@ class StagedAligner:
                                        _pu8(ra), rg)
                 ql_b = qlen[idx].astype(np.int64)
                 rl_b = rlen[idx].astype(np.int64)
-                self.stats["ext_cells"] += int(
-                    (ql_b * (2 * bw2 + 1)).sum())
+                self._acc(ext_cells=int(
+                    (ql_b * (2 * bw2 + 1)).sum()))
                 for (lidx, fmt, plane, idc, pstride, rstride, maxi,
                      maxj, score) in self._run_ext_bucket(qa, ql_b, ra,
                                                           rl_b):
