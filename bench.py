@@ -383,24 +383,27 @@ def main():
         # cost decomposed.  Subprocess-guarded: a cold compile cache
         # costs ~10 min of remote kernel compiles and must not kill the
         # whole bench.
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import sys; sys.path.insert(0, %r); import bench, json;"
-                 " print('STAGED|' + json.dumps("
-                 "bench.bench_e2e_staged_tpu()))" % REPO],
-                capture_output=True, timeout=1500, text=True,
-                env=dict(os.environ, PYTHONPATH=REPO + os.pathsep +
-                         os.environ.get("PYTHONPATH", "")))
-            for line in r.stdout.splitlines():
-                if line.startswith("STAGED|"):
-                    extra["e2e_tpu_staged_100bp"] = json.loads(line[7:])
-                    break
-            else:                                   # pragma: no cover
-                extra["e2e_tpu_staged_error"] = \
-                    (r.stderr or r.stdout)[-200:]
-        except Exception as e:                      # pragma: no cover
-            extra["e2e_tpu_staged_error"] = str(e)[:200]
+        for key, call in (
+                ("e2e_tpu_staged_100bp", "bench.bench_e2e_staged_tpu()"),
+                ("e2e_tpu_staged_1kb",
+                 "bench.bench_e2e_staged_tpu(4000, 1000, 0.05)")):
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c",
+                     "import sys; sys.path.insert(0, %r); import bench, "
+                     "json; print('STAGED|' + json.dumps(%s))"
+                     % (REPO, call)],
+                    capture_output=True, timeout=1500, text=True,
+                    env=dict(os.environ, PYTHONPATH=REPO + os.pathsep +
+                             os.environ.get("PYTHONPATH", "")))
+                for line in r.stdout.splitlines():
+                    if line.startswith("STAGED|"):
+                        extra[key] = json.loads(line[7:])
+                        break
+                else:                               # pragma: no cover
+                    extra[key + "_error"] = (r.stderr or r.stdout)[-200:]
+            except Exception as e:                  # pragma: no cover
+                extra[key + "_error"] = str(e)[:200]
 
     print(json.dumps({
         "metric": "banded-SW extension DP throughput (%s, batch %dx%dbp)"

@@ -81,12 +81,15 @@ CONFIGS = [
     ("readsA_100bp.fasta", {"oqc": False}),           # ALL-mode dups
     ("readsE_150bp.fastq", {}),
     ("readsF_edge.fasta", {}),                        # degenerate chops
+    ("readsA_100bp.fasta", {"output_blast8": True,
+                            "output_sam": False}),    # Blast8 writer
+    ("readsA_100bp.fasta", {"hard_clip": False}),     # soft clips
 ]
 
 
 @pytest.mark.parametrize("qfile,over", CONFIGS,
                          ids=["default", "params1kb", "sv_fbs", "allmode",
-                              "fastq", "edge"])
+                              "fastq", "edge", "blast8", "softclip"])
 def test_staged_native_backend_parity(scratch, env, qfile, over):
     from yaha_tpu.native import host
     from yaha_tpu.models.staged import StagedAligner
