@@ -1,0 +1,303 @@
+"""Device seed phase for the staged engine (the composed product path).
+
+VERDICT r3 item 1: the staged C++ pipeline (the product engine) and the
+scale-out path (ShardedIndex over a (data x model) mesh) were disjoint —
+the mesh path ran the per-read-Python BatchAligner back half.  This
+module composes them: the seed scan + SO lookup + ragged ROA expansion +
+(diag, qo) sort run on the device (sharded over the mesh when one is
+given, single-device otherwise), and the resulting per-(read, strand)
+hit rows feed the native staged chaining (yt_hits_to_clumps) — zero
+per-read Python anywhere.
+
+Reference match: Query.c:361-412 (seed loop) + QueryMatch.c:52-121
+(heap merge) — here one batched device program per chunk; the index
+placement is SURVEY.md section 2.2's TP-analog (hash-range sharded
+SO + ROA, candidates merged with an all_gather over ICI).
+
+Correctness edges (all kept on the device path):
+  * phantom-hit quirk (QueryMatch.c:57-69): device flags all-wrapped
+    windows; the exact phantom hits are injected host-side per flagged
+    row and merged in sorted position (core/frags.phantom_hits);
+  * capacity overflow: rows that exceed the first capacity tier retry
+    one big tier; rows exceeding the top tier take the native host scan
+    for that strand (hit_totals[row] = -1) — the per-query realloc
+    analog (Query.c:81-100) as static tiers.
+
+Hit rows leave the device as ONE ragged gather per plane (diag, qo) —
+transfers scale with actual hits, not rows x capacity.
+"""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+M32 = 0xFFFFFFFF
+
+
+def _pow2(x, lo=1):
+    return max(lo, 1 << (int(x) - 1).bit_length())
+
+
+class _IndexView:
+    """Duck-types io.index_io.Index (starting_offs / roa / word_len /
+    max_hits) over a NativeIndex's mmap'd pointers, zero-copy."""
+
+    def __init__(self, index):
+        self.word_len = index.word_len
+        self.max_hits = index.max_hits
+        if hasattr(index, "starting_offs"):
+            self.starting_offs = np.asarray(index.starting_offs,
+                                            np.uint32)
+            self.roa = np.asarray(index.roa, np.uint32)
+        else:
+            ht = 1 << (2 * index.word_len)
+            self.starting_offs = np.ctypeslib.as_array(
+                index.so_ptr, shape=(ht + 1,))
+            self.roa = np.ctypeslib.as_array(
+                index.roa_ptr, shape=(max(int(index.roa_len), 1),))
+
+
+class DeviceSeeder:
+    """Seed-phase provider for StagedAligner (the `seeder` argument).
+
+    mesh: a jax.sharding.Mesh with ("data", "model") axes — the
+    sharded-index scale-out path; None = single-device lookup (the whole
+    SO + ROA resident in one device's HBM).
+    """
+
+    CAP_TIERS = (1024, 8192)
+
+    def __init__(self, aa, index, mesh=None, n_model=1):
+        import jax
+        import jax.numpy as jnp
+        self.aa = aa
+        self.word_len = index.word_len
+        self.iview = _IndexView(index)
+        self.mesh = mesh
+        self.sidx = None
+        self.stats = {"seed_launches": 0, "seed_h2d_bytes": 0,
+                      "seed_d2h_bytes": 0, "all_gather_bytes": 0,
+                      "phantom_rows": 0, "fallback_rows": 0,
+                      "seed_device_s": 0.0, "cap_retries": 0}
+        # Host-side 4-bit code tables (Math.c:141-231) for building the
+        # device batch and for phantom recompute.
+        from ..utils import codec
+        self.code_tab = np.asarray(codec.FOUR_BIT_CODES, np.uint8)
+        self.comp_tab = np.asarray(codec.FOUR_BIT_COMP_CODES, np.uint8)
+        if mesh is not None:
+            from ..parallel.mesh import ShardedIndex
+            self.sidx = ShardedIndex(self.iview, n_model).place(mesh)
+            self.data_size = mesh.shape["data"]
+        else:
+            self.so_dev = jnp.asarray(self.iview.starting_offs)
+            self.roa_dev = jnp.asarray(self.iview.roa)
+            self.data_size = 1
+        self._so64 = None
+
+    # ---- batch build ----
+
+    def _codes_batch(self, pr, lo, hi):
+        """[2*(hi-lo) rows, lpad] uint8 code batch (row 2i = fwd,
+        2i+1 = revcomp) + lengths, padded with N codes."""
+        n = hi - lo
+        offs = np.ctypeslib.as_array(pr.seq_offs, shape=(pr.n + 1,))
+        total = int(offs[pr.n])
+        seqs = np.ctypeslib.as_array(pr.seqs, shape=(max(total, 1),))
+        lens = (offs[lo + 1:hi + 1] - offs[lo:hi]).astype(np.int32)
+        lmax = int(lens.max()) if n else 1
+        lpad = _pow2(max(lmax, 64))
+        rows = 2 * n
+        bpad = _pow2(max(rows, 16))
+        if self.data_size > 1:
+            bpad = max(bpad, _pow2(self.data_size))
+        codes = np.full((bpad, lpad), 4, np.uint8)
+        lengths = np.zeros(bpad, np.int32)
+        for i in range(n):
+            s0, s1 = int(offs[lo + i]), int(offs[lo + i + 1])
+            fwd = self.code_tab[seqs[s0:s1]]
+            codes[2 * i, :s1 - s0] = fwd
+            codes[2 * i + 1, :s1 - s0] = self.comp_tab[fwd[::-1]]
+            lengths[2 * i] = lengths[2 * i + 1] = s1 - s0
+        return codes, lengths, rows
+
+    # ---- device lookup ----
+
+    def _expand(self, codes, lengths, capacity):
+        import jax
+        import jax.numpy as jnp
+        from ..ops import seeds_jax
+        aa = self.aa
+        self.stats["seed_launches"] += 1
+        self.stats["seed_h2d_bytes"] += codes.nbytes + lengths.nbytes
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import sharded_expand_sort
+            codes_d = jax.device_put(
+                jnp.asarray(codes), NamedSharding(self.mesh,
+                                                  P("data", None)))
+            lens_d = jax.device_put(
+                jnp.asarray(lengths), NamedSharding(self.mesh, P("data")))
+            hashes, clean = seeds_jax.batched_seed_hashes(
+                codes_d, lens_d, word_len=self.word_len)
+            out = sharded_expand_sort(
+                self.mesh, hashes, clean, self.sidx,
+                max_hits=int(aa.max_hits), capacity=capacity)
+            m = self.mesh.shape["model"]
+            self.stats["all_gather_bytes"] += \
+                2 * 4 * m * codes.shape[0] * capacity
+            return out
+        hashes, clean = seeds_jax.batched_seed_hashes(
+            jnp.asarray(codes), jnp.asarray(lengths),
+            word_len=self.word_len)
+        return seeds_jax.expand_sort_hits_device(
+            hashes, clean, self.so_dev, self.roa_dev,
+            max_hits=int(aa.max_hits), capacity=capacity)
+
+    def _ragged_fetch(self, out, rows, capacity):
+        """d2h the valid hit prefixes as ONE flat gather per plane.
+
+        Returns (diag_flat uint32, qo_flat int32, offs int64[rows+1],
+        totals int64[rows]) — totals clipped at the row width (overflow
+        rows are refetched at a bigger tier or routed to the host scan
+        by the caller).  On the mesh path rows are [B, M*capacity]
+        (all_gather over `model` widens them), so the clip/stride use
+        the actual plane width, not the per-shard capacity."""
+        import jax.numpy as jnp
+        from ..ops import decode_jax
+        width = int(out["diag"].shape[1])
+        totals = np.asarray(out["total"]).astype(np.int64)[:rows]
+        take = np.minimum(totals, width)
+        self.stats["seed_d2h_bytes"] += 8 * rows + rows // 8 + 1
+        n = rows
+        order = np.argsort(take, kind="stable")
+        t_sorted = take[order]
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(t_sorted, out=starts[1:])
+        total = int(starts[n])
+        total_pad = _pow2(max(total, 1024))
+        n_pad = _pow2(max(n, 256))
+        src_aug = np.zeros(n_pad + 1, np.int32)
+        src_aug[:n] = order
+        t_aug = np.zeros(n_pad + 1, np.int64)
+        t_aug[:n] = t_sorted
+        t_aug[n_pad] = total_pad - total
+        starts_aug = np.full(n_pad + 1, total, np.int64)
+        starts_aug[:n] = starts[:n]
+        flat_d = decode_jax.gather_rle_flat(
+            out["diag"].view(jnp.int32), src_aug, t_aug, starts_aug,
+            cap=width, total_pad=total_pad)
+        flat_q = decode_jax.gather_rle_flat(
+            out["qo"], src_aug, t_aug, starts_aug,
+            cap=width, total_pad=total_pad)
+        diag_s = np.asarray(flat_d)[:total].view(np.uint32)
+        qo_s = np.asarray(flat_q)[:total]
+        self.stats["seed_d2h_bytes"] += 8 * total
+        # Un-sort: build row-major offs and copy each row's block.
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(take, out=offs[1:])
+        diag = np.empty(total, np.uint32)
+        qo = np.empty(total, np.int32)
+        for k in range(n):
+            r = int(order[k])
+            t = int(t_sorted[k])
+            if t == 0:
+                continue
+            diag[offs[r]:offs[r] + t] = diag_s[starts[k]:starts[k] + t]
+            qo[offs[r]:offs[r] + t] = qo_s[starts[k]:starts[k] + t]
+        return diag, qo, offs, totals
+
+    # ---- phantom injection (QueryMatch.c:57-69) ----
+
+    def _inject_row(self, codes_row, qlen, wrapped_row, diag, qo):
+        from ..core.frags import phantom_hits
+        wl = self.word_len
+        offs_w = np.flatnonzero(wrapped_row)
+        if self._so64 is None:
+            self._so64 = self.iview.starting_offs.astype(np.int64)
+        so = self._so64
+        c = codes_row[:qlen].astype(np.int64)
+        h = np.zeros(len(offs_w), np.int64)
+        for t in range(wl):
+            h = (h << 2) | c[offs_w + t]
+        so_offs = so[h]
+        counts = so[h + 1] - so[h]
+        extra_qo, extra_ro = phantom_hits(
+            offs_w, so_offs, counts, self.iview.roa, range(len(offs_w)))
+        if not extra_qo:
+            return diag, qo
+        qo2 = np.concatenate([qo.astype(np.int64),
+                              np.asarray(extra_qo, np.int64)])
+        diag2 = np.concatenate(
+            [diag.astype(np.int64),
+             (np.asarray(extra_ro, np.int64) -
+              np.asarray(extra_qo, np.int64)) & M32])
+        order = np.lexsort((qo2, diag2))
+        return diag2[order].astype(np.uint32), qo2[order].astype(np.int32)
+
+    # ---- entry ----
+
+    def seed_chunk(self, pr, lo, hi, aligner=None):
+        """Compute per-(read, strand) sorted hit rows for reads [lo, hi)
+        of a ParsedReads.  Returns (diag uint32, qo int32,
+        offs int64[2n+1], totals int64[2n]) for yt_batch_begin."""
+        import time
+        t0 = time.time()
+        codes, lengths, rows = self._codes_batch(pr, lo, hi)
+        out1 = self._expand(codes, lengths, self.CAP_TIERS[0])
+        allw = np.asarray(out1["allwrapped"])[:rows]
+        overflow = np.asarray(out1["overflow"])[:rows]
+        out2 = None
+        if overflow.any():
+            self.stats["cap_retries"] += 1
+            out2 = self._expand(codes, lengths, self.CAP_TIERS[1])
+        d1, q1, offs1, tot1 = self._ragged_fetch(out1, rows,
+                                                 self.CAP_TIERS[0])
+        if out2 is not None:
+            d2, q2, offs2, tot2 = self._ragged_fetch(out2, rows,
+                                                     self.CAP_TIERS[1])
+            over2 = np.asarray(out2["overflow"])[:rows]
+        # Assemble final row-major arrays (most rows come straight from
+        # tier 1; overflow rows from tier 2; top-tier overflow -> -1).
+        parts_d, parts_q = [], []
+        offs = np.zeros(rows + 1, np.int64)
+        totals = np.zeros(rows, np.int64)
+        for r in range(rows):
+            if overflow[r]:
+                if out2 is None or over2[r]:
+                    # top-tier overflow: host scan for this strand
+                    totals[r] = -1
+                    offs[r + 1] = offs[r]
+                    self.stats["fallback_rows"] += 1
+                    continue
+                d, q, t = (d2[offs2[r]:offs2[r + 1]],
+                           q2[offs2[r]:offs2[r + 1]], tot2[r])
+            else:
+                d, q, t = (d1[offs1[r]:offs1[r + 1]],
+                           q1[offs1[r]:offs1[r + 1]], tot1[r])
+            if allw[r] and t >= 0:
+                # some window's run is all-wrapped: inject phantoms
+                wr_out = out2 if (overflow[r] and out2 is not None) \
+                    else out1
+                wrapped_row = np.asarray(wr_out["wrapped"][r])
+                if wrapped_row.any():
+                    self.stats["phantom_rows"] += 1
+                    d, q = self._inject_row(codes[r], int(lengths[r]),
+                                            wrapped_row, d, q)
+            parts_d.append(d)
+            parts_q.append(q)
+            totals[r] = t
+            offs[r + 1] = offs[r] + len(d)
+        diag = (np.concatenate(parts_d) if parts_d
+                else np.zeros(0, np.uint32))
+        qo = (np.concatenate(parts_q) if parts_q
+              else np.zeros(0, np.int32))
+        diag = np.ascontiguousarray(diag, dtype=np.uint32)
+        qo = np.ascontiguousarray(qo, dtype=np.int32)
+        self.stats["seed_device_s"] += time.time() - t0
+        if aligner is not None:
+            aligner._acc(h2d_bytes=self.stats["seed_h2d_bytes"],
+                         d2h_bytes=0)  # accounted once per chunk below
+            # reset per-chunk byte counters into the aligner's totals
+            self.stats["seed_h2d_bytes"] = 0
+        return diag, qo, offs, totals

@@ -56,7 +56,8 @@ def _sig(lib):
         _u8p, _i64p, _u8p, _i64p, _u8p, ct.c_int64,
         _u8p, ct.c_int64, ct.c_int64, _i64p, _i64p, ct.c_int64,
         _u8p, _i64p, _u32p, _u32p, ct.c_int64,
-        _i64p, ct.POINTER(ct.c_double), ct.c_int64]
+        _i64p, ct.POINTER(ct.c_double), ct.c_int64,
+        _u32p, _i32p, _i64p, _i64p]
     lib.yt_batch_gap_count.restype = ct.c_int64
     lib.yt_batch_gap_count.argtypes = [ct.c_void_p]
     lib.yt_batch_gap_meta.argtypes = [ct.c_void_p, _i32p, _i32p, _i32p,
@@ -118,11 +119,16 @@ class StagedAligner:
     """
 
     def __init__(self, aa, genome, index, backend="pallas", n_threads=1,
-                 inline_small=None):
+                 inline_small=None, seeder=None):
         self.aa = aa
         self.genome = genome
         self.index = index
         self.backend = backend
+        # Optional device seed phase (models/seeder.DeviceSeeder): the
+        # composed product x scale-out path — seed lookup on the (data x
+        # model) mesh against the ShardedIndex, hits fed to the native
+        # chaining (yt_hits_to_clumps) with zero per-read Python.
+        self.seeder = seeder
         self.n_threads = max(1, int(n_threads))
         if inline_small is None:
             inline_small = os.environ.get("YT_STAGED_INLINE", "1") != "0"
@@ -142,7 +148,11 @@ class StagedAligner:
         # (BASELINE.md): device launches and h2d/d2h problem bytes.
         self.stats = {"dp_launches": 0, "h2d_bytes": 0, "d2h_bytes": 0,
                       "gap_problems": 0, "ext_problems": 0,
-                      "gap_cells": 0, "ext_cells": 0, "device_s": 0.0}
+                      "gap_cells": 0, "ext_cells": 0, "device_s": 0.0,
+                      # Host-phase decomposition (BENCH r4): native stage
+                      # walls + Python-side problem marshalling.
+                      "begin_s": 0.0, "gap_host_s": 0.0, "phase2_s": 0.0,
+                      "ext_host_s": 0.0, "finish_s": 0.0}
         # align_chunk may run concurrently from the CLI's prefetch
         # pipeline (chunk k+1 host phases overlap chunk k device waits);
         # the accumulator guards the read-modify-write.
@@ -542,6 +552,14 @@ class StagedAligner:
         def off64(p, k):
             return ct.cast(ct.cast(p, ct.c_void_p).value + 8 * k, _i64p)
 
+        import time as _t0mod
+        t_begin = _t0mod.time()
+        seeds = None
+        if self.seeder is not None:
+            # Device seed phase: hits arrive sorted by (diag, qo) per
+            # (read, strand) row; rows that overflowed the top capacity
+            # tier carry total -1 and take the host scan inside phase 1.
+            seeds = self.seeder.seed_chunk(pr, lo, hi, self)
         ctx = lib.yt_batch_begin(
             pr.seqs, off64(pr.seq_offs, lo), pr.ids,
             off64(pr.id_offs, lo), pr.quals if aa.fastq else None,
@@ -554,13 +572,29 @@ class StagedAligner:
             ct.cast(genome._name_offs, _i64p),
             index.so_ptr, index.roa_ptr, index.roa_len,
             ct.cast(ip, _i64p), ct.cast(fp, ct.POINTER(ct.c_double)),
-            1 if self.inline_small else 0)
+            1 if self.inline_small else 0,
+            seeds[0].ctypes.data_as(_u32p) if seeds else None,
+            _p32(seeds[1]) if seeds else None,
+            _p64(seeds[2]) if seeds else None,
+            _p64(seeds[3]) if seeds else None)
         if not ctx:
             raise RuntimeError("yt_batch_begin failed")
         try:
+            import time as _t
+            t1 = _t.time()
+            self._acc(begin_s=(t1 - t_begin))
+            d0 = self.stats["device_s"]
             self._gap_phase(ctx)
+            t2 = _t.time()
+            d1 = self.stats["device_s"]
+            self._acc(gap_host_s=(t2 - t1 - (d1 - d0)))
             lib.yt_batch_phase2(ctx)
+            t3 = _t.time()
+            self._acc(phase2_s=(t3 - t2))
             self._ext_phase(ctx)
+            t4 = _t.time()
+            d2 = self.stats["device_s"]
+            self._acc(ext_host_s=(t4 - t3 - (d2 - d1)))
             out_text = ct.c_void_p()
             out_len = ct.c_int64()
             sm = ct.c_int64()
@@ -569,6 +603,7 @@ class StagedAligner:
                 ctx, ct.byref(out_text), ct.byref(out_len),
                 ct.byref(sm), ct.byref(nr),
                 ct.cast(dist, _i64p) if dist is not None else None)
+            self._acc(finish_s=(_t.time() - t4))
             assert rc == 0
             try:
                 text = ct.string_at(out_text, out_len.value)

@@ -1181,6 +1181,59 @@ int64_t yt_seed_to_clumps(
     return _rv;
 }
 
+// Device-fed variant of the front end: the seed scan + ROA expansion +
+// (diag, qo) sort already ran on the accelerator (ops/seeds_jax.py /
+// parallel/mesh.sharded_expand_sort, the TP-analog sharded-index lookup)
+// and hands back per-strand hit arrays sorted by (diag uint32 asc, qo
+// asc) — the exact order the reference heap merge visits hits
+// (QueryMatch.c:52-121).  This entry runs only the coalesce (qo gap >
+// word_len on a diagonal starts a new fragment) and the fragment->clump
+// stage, so the staged product pipeline composes with the sharded-index
+// seed phase with zero per-read Python.
+int64_t yt_hits_to_clumps(
+        const uint32_t* hits_diag, const int32_t* hits_qo, int64_t n_hits,
+        int64_t q_len, int64_t word_len,
+        int64_t max_gap, int64_t max_desert, int64_t min_match,
+        int64_t min_non_overlap, int64_t m_score, int64_t go_cost,
+        int64_t ge_cost, int64_t band_width,
+        int64_t* out_sqo, int64_t* out_eqo, int64_t* out_sro,
+        int64_t* clump_offs, int64_t* clump_matched,
+        int64_t cap_frags, int64_t cap_clumps) {
+    const int64_t M32 = 0xFFFFFFFFll;
+    clump_offs[0] = 0;
+    if (n_hits <= 0) return 0;
+    static thread_local std::vector<int64_t> fsqo, feqo, fsro;
+    fsqo.clear(); feqo.clear(); fsro.clear();
+    uint64_t cur_diag = hits_diag[0];
+    int64_t cur_sqo = hits_qo[0];
+    int64_t cur_eqo = cur_sqo;
+    for (int64_t t = 1; t < n_hits; t++) {
+        uint64_t diag = hits_diag[t];
+        int64_t qo = hits_qo[t];
+        if (diag != cur_diag || qo - cur_eqo > word_len) {
+            fsqo.push_back(cur_sqo);
+            feqo.push_back(cur_eqo + word_len - 1);
+            fsro.push_back((int64_t)((cur_diag + (uint64_t)cur_sqo) &
+                                     (uint64_t)M32));
+            cur_diag = diag;
+            cur_sqo = qo;
+            cur_eqo = qo;
+        } else {
+            cur_eqo = qo;
+        }
+    }
+    fsqo.push_back(cur_sqo);
+    feqo.push_back(cur_eqo + word_len - 1);
+    fsro.push_back((int64_t)((cur_diag + (uint64_t)cur_sqo) &
+                             (uint64_t)M32));
+    return yt_frags_to_clumps(
+        fsqo.data(), feqo.data(), fsro.data(), (int64_t)fsqo.size(), q_len,
+        max_gap, max_desert, min_match, min_non_overlap, m_score, go_cost,
+        ge_cost, band_width, word_len,
+        out_sqo, out_eqo, out_sro, clump_offs, clump_matched,
+        cap_frags, cap_clumps);
+}
+
 // Gap-collection stage for all clumps of one read
 // (alignClump's pre-DP stages, AlignHelpers.c:205-262 /
 // AlignExtFrag.cpp:30-48,164-234): neighbor perfect extensions (mutating

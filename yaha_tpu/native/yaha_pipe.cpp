@@ -42,6 +42,15 @@ int64_t yt_seed_to_clumps(
     int64_t* out_sqo, int64_t* out_eqo, int64_t* out_sro,
     int64_t* clump_offs, int64_t* clump_matched,
     int64_t cap_frags, int64_t cap_clumps, int64_t* total_hits_out);
+int64_t yt_hits_to_clumps(
+    const uint32_t* hits_diag, const int32_t* hits_qo, int64_t n_hits,
+    int64_t q_len, int64_t word_len,
+    int64_t max_gap, int64_t max_desert, int64_t min_match,
+    int64_t min_non_overlap, int64_t m_score, int64_t go_cost,
+    int64_t ge_cost, int64_t band_width,
+    int64_t* out_sqo, int64_t* out_eqo, int64_t* out_sro,
+    int64_t* clump_offs, int64_t* clump_matched,
+    int64_t cap_frags, int64_t cap_clumps);
 int yt_extension_forward(const uint8_t* q, const int32_t* qlens,
                          const uint8_t* r, const int32_t* rlens,
                          int64_t n, int64_t qlmax, int64_t rlmax,
@@ -2137,6 +2146,60 @@ static int64_t process_strand(State& st, bool rev) {
     }
 }
 
+// Device-fed twin of process_strand: the seed scan + sort already ran on
+// the accelerator (the composed staged x sharded-index path); hits arrive
+// sorted by (diag, qo) and only coalesce + fragment->clump run here.
+// `total_hits` is the device-counted seed-match total (pre-phantom, the
+// same quantity the host scan reports).
+static int64_t process_strand_hits(State& st, bool rev,
+                                   const uint32_t* hits_diag,
+                                   const int32_t* hits_qo, int64_t n_hits,
+                                   int64_t total_hits) {
+    const Params& aa = *st.aa;
+    static thread_local std::vector<int64_t> sc_sqo, sc_eqo, sc_sro,
+        sc_offs, sc_matched;
+    static thread_local int64_t cap_frags = 65536, cap_clumps = 8192;
+    for (;;) {
+        if ((int64_t)sc_sqo.size() < cap_frags) {
+            sc_sqo.resize((size_t)cap_frags);
+            sc_eqo.resize((size_t)cap_frags);
+            sc_sro.resize((size_t)cap_frags);
+        }
+        if ((int64_t)sc_offs.size() < cap_clumps + 1) {
+            sc_offs.resize((size_t)cap_clumps + 1);
+            sc_matched.resize((size_t)cap_clumps);
+        }
+        int64_t n_clumps = yt_hits_to_clumps(
+            hits_diag, hits_qo, n_hits, st.q_len, aa.word_len,
+            aa.max_gap, aa.max_desert, aa.min_match,
+            aa.min_non_overlap, aa.m_score, aa.go_cost, aa.ge_cost,
+            aa.band_width,
+            sc_sqo.data(), sc_eqo.data(), sc_sro.data(),
+            sc_offs.data(), sc_matched.data(),
+            cap_frags, cap_clumps);
+        if (n_clumps < 0) {
+            cap_frags *= 4;
+            cap_clumps *= 4;
+            continue;
+        }
+        for (int64_t k = 0; k < n_clumps; k++) {
+            Clump* clump = st.new_clump();
+            for (int64_t i = sc_offs[(size_t)k];
+                 i < sc_offs[(size_t)(k + 1)]; i++) {
+                clump->sfrags.emplace_back();
+                Frag& f = clump->sfrags.back().frag;
+                f.sqo = sc_sqo[(size_t)i];
+                f.eqo = sc_eqo[(size_t)i];
+                f.sro = sc_sro[(size_t)i];
+                f.ref_len = f.eqo - f.sqo + 1;
+            }
+            clump->matched_bases = sc_matched[(size_t)k];
+            st.add_clump(clump, rev);
+        }
+        return total_hits;
+    }
+}
+
 // Returns (seed_matches, alignments_printed) for the QUERYSTATS analog
 // (Query.c:480-491; core/pipeline.align_query stats fields).
 static std::pair<int64_t, int64_t> align_read(State& st, std::string& out,
@@ -2265,6 +2328,16 @@ struct BatchCtx {
     const uint8_t* quals = nullptr;
     int64_t n_reads = 0, n_threads = 1;
     bool inline_small = true;
+    // Optional device-fed seed hits (the composed staged x sharded-index
+    // path): per (read, strand) row 2*i+s, hits sorted by (diag, qo) in
+    // hits_diag/hits_qo[hit_offs[row] : hit_offs[row+1]], with
+    // hit_totals[row] the device seed-match count; a row total of -1
+    // routes that strand through the host scan (top-tier overflow
+    // fallback).  NULL = host seed scan for everything.
+    const uint32_t* hits_diag = nullptr;
+    const int32_t* hits_qo = nullptr;
+    const int64_t* hit_offs = nullptr;
+    const int64_t* hit_totals = nullptr;
     std::vector<ReadSlot> slots;
     std::vector<StagedProb*> gap_ptr, ext_ptr;   // global problem order
     int64_t rec_sum = 0;
@@ -2465,8 +2538,21 @@ static void staged_phase1(BatchCtx& c, int64_t i) {
     st.clumps.clear();
     st.primary_count = 0;
     yt_skipped_regions = 0;
-    int64_t fwd = process_strand(st, false);
-    int64_t rev = process_strand(st, true);
+    int64_t counts[2];
+    for (int s = 0; s < 2; s++) {
+        int64_t row = 2 * i + s;
+        if (c.hit_offs != nullptr && c.hit_totals[row] >= 0) {
+            counts[s] = process_strand_hits(
+                st, s != 0, c.hits_diag + c.hit_offs[row],
+                c.hits_qo + c.hit_offs[row],
+                c.hit_offs[row + 1] - c.hit_offs[row],
+                c.hit_totals[row]);
+        } else {
+            counts[s] = process_strand(st, s != 0);
+        }
+    }
+    int64_t fwd = counts[0];
+    int64_t rev = counts[1];
     if (yt_skipped_regions > 0)
         fprintf(stderr, "Warning: skipped %lld fragment region(s) with "
                 "more than %lld fragments in query %s.\n",
@@ -3087,7 +3173,9 @@ void* yt_batch_begin(
     const uint8_t* bs_names, const int64_t* bs_name_offs,
     const uint32_t* so, const uint32_t* roa, int64_t roa_len,
     const int64_t* iparams, const double* fparams,
-    int64_t inline_small) {
+    int64_t inline_small,
+    const uint32_t* hits_diag, const int32_t* hits_qo,
+    const int64_t* hit_offs, const int64_t* hit_totals) {
     using namespace yp;
     init_tables();
     BatchCtx* c = new BatchCtx();
@@ -3117,6 +3205,10 @@ void* yt_batch_begin(
     c->id_offs = id_offs;
     c->quals = quals;
     c->n_reads = n_reads;
+    c->hits_diag = hits_diag;
+    c->hits_qo = hits_qo;
+    c->hit_offs = hit_offs;
+    c->hit_totals = hit_totals;
     c->slots.resize((size_t)n_reads);
     staged_run(*c, n_reads,
                [c](int64_t i) { staged_phase1(*c, i); });
