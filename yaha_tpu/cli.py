@@ -38,6 +38,12 @@ yaha_tpu extensions:
   --engine oracle|native|batch|batch-numpy|batch-xla|batch-pallas
   --frontend native|device|host  host phases for the jax engines
                           (native = staged C++ pipeline, the default)
+  --seed host|device      seed-lookup phase placement for the staged
+                          jax engines (device = k-mer scan + index
+                          lookup + hit sort on the accelerator)
+  --model-shards N        shard the k-mer index over N devices of a
+                          local (data x model) mesh (implies --seed
+                          device); composes with --num-hosts
   --batch-size N          reads per batch
   --max-query-length N    lift the 32 kb read cap
   --max-region-frags N    skip repeat regions with > N fragments (0=off)
@@ -252,6 +258,25 @@ def main(argv=None):
                 print("--frontend must be native, device, or host",
                       file=sys.stderr)
                 sys.exit(1)
+        elif a == "--seed":
+            # Seed-phase placement for the staged jax engines: `device`
+            # runs the k-mer scan + SO/ROA lookup + (diag, qo) sort on
+            # the accelerator (models/seeder.py) feeding the native
+            # chaining; `host` (default) keeps the C++ seed scan.
+            i += 1
+            aa.seed = argv[i]
+            if aa.seed not in ("host", "device"):
+                print("--seed must be host or device", file=sys.stderr)
+                sys.exit(1)
+        elif a == "--model-shards":
+            # TP-analog (SURVEY.md section 2.2): hash-range shard the
+            # index over N devices of a local (data x model) mesh; seed
+            # lookups resolve on the owning shard and candidates merge
+            # with an all_gather over ICI.  Composes with --num-hosts
+            # (reads range-shard across hosts; each host runs its own
+            # local mesh against its index shards).
+            i += 1
+            aa.model_shards = _parse_int(argv[i], "--model-shards")
         elif a == "--resume":
             aa.resume = True
         elif a == "--max-query-length":
@@ -421,8 +446,7 @@ def _do_query(aa):
     if engine in ("batch-xla", "batch-pallas"):
         from .native import host as _h
         staged = (_h.available()
-                  and getattr(aa, "frontend", "native") == "native"
-                  and getattr(aa, "num_hosts", 1) == 1)
+                  and getattr(aa, "frontend", "native") == "native")
     if engine == "native" or staged:
         from .native import host
         if host.available():
@@ -465,14 +489,52 @@ def _do_query(aa):
             # batch k+1 under batch k's device DP); still dense enough
             # to fill the device launch tiers.
             aa.batch_size = 16384
+        num_hosts = getattr(aa, "num_hosts", 1)
+        read_range = None
+        merged_ofile = None
+        if num_hosts > 1:
+            # DP-1 across hosts (SURVEY.md section 2.2): reads
+            # range-shard per host, per-host SAM parts merge in host
+            # order — the staged product engine IS the per-host engine.
+            from .parallel import distributed as dist
+            dist.initialize(getattr(aa, "coordinator", None), num_hosts,
+                            getattr(aa, "host_id", 0))
+            read_range = dist.host_read_range(_count_records(aa))
+            merged_ofile = aa.ofile_name
+            aa.ofile_name = dist.part_file_name(merged_ofile)
+            aa.resume = False
+        seeder = None
+        mshards = getattr(aa, "model_shards", 1)
+        if getattr(aa, "seed", "host") == "device" or mshards > 1:
+            from .models.seeder import DeviceSeeder
+            if mshards > 1:
+                import jax
+                from .parallel import mesh as pmesh
+                import numpy as _np
+                local = _np.array(jax.local_devices())
+                if len(local) % mshards:
+                    print("--model-shards %d does not divide the %d "
+                          "local devices." % (mshards, len(local)),
+                          file=sys.stderr)
+                    sys.exit(1)
+                from jax.sharding import Mesh
+                m = Mesh(local.reshape(len(local) // mshards, mshards),
+                         ("data", "model"))
+                seeder = DeviceSeeder(aa, index, mesh=m, n_model=mshards)
+            else:
+                seeder = DeviceSeeder(aa, index)
         aligner = StagedAligner(aa, genome, index, backend=backend,
-                                n_threads=aa.num_threads)
+                                n_threads=aa.num_threads, seeder=seeder)
 
         def _align(pr, lo, hi, dist=None):
             text, sm, nr = aligner.align_chunk(pr, lo, hi, dist=dist)
             return text, None, sm, nr
         _run_native_engine(aa, genome, index, align_fn=_align,
-                           dp_stats=aligner.stats)
+                           dp_stats=aligner.stats,
+                           read_range=read_range,
+                           write_header=(num_hosts == 1))
+        if num_hosts > 1:
+            _multihost_merge(aa, genome, merged_ofile)
         return
     if engine != "oracle":
         _run_batch_engine(aa, genome, index, engine)
@@ -571,7 +633,44 @@ def _setup_compile_cache():
             pass
 
 
-def _run_native_engine(aa, genome, index, align_fn=None, dp_stats=None):
+def _count_records(aa):
+    """One native-parse counting pass over the query file: the global
+    read count that multi-host range sharding needs (every host counts
+    the same file with the same parser, so the ranges tile exactly)."""
+    from .native import host
+    total = 0
+    for chunk, fastq in _iter_query_chunks(aa.qfile_name):
+        pr = host.parse_queries_native(chunk, fastq,
+                                       aa.max_query_length, aa.word_len)
+        total += pr.n
+        if pr.stopped:
+            break
+    return total
+
+
+def _multihost_merge(aa, genome, merged_ofile):
+    """Cross-host barrier (a tiny psum over the global mesh), then host 0
+    concatenates the per-host SAM parts in host order."""
+    import jax
+    import numpy as np_
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    from .io import sam
+    from .parallel import distributed as dist
+    nd = len(jax.devices())
+    mesh = Mesh(np_.array(jax.devices()).reshape(nd), ("data",))
+    jax.jit(shard_map(
+        lambda x: jax.lax.psum(x.sum(), "data"), mesh=mesh,
+        in_specs=P("data"), out_specs=P()))(
+            np_.ones(nd, np_.float32)).block_until_ready()
+    if jax.process_index() == 0:
+        aa.ofile_name = merged_ofile   # @PG shows the merged name
+        dist.merge_part_files(merged_ofile, jax.process_count(),
+                              sam.file_header(aa, genome))
+
+
+def _run_native_engine(aa, genome, index, align_fn=None, dp_stats=None,
+                       read_range=None, write_header=True):
     """Full native per-read pipeline (yt_align_batch): the product fast
     path.  The query file streams through bounded chunks; each chunk is
     parsed natively and aligned through the C++ pipeline (internal -t
@@ -581,7 +680,11 @@ def _run_native_engine(aa, genome, index, align_fn=None, dp_stats=None):
     `align_fn(pr, lo, hi) -> (text, stats, seed_matches, records)`
     substitutes the per-batch align call (the staged device-DP engine
     rides this same streaming loop); `dp_stats` is that engine's
-    launch/byte accounting dict, reported under -v."""
+    launch/byte accounting dict, reported under -v.  `read_range`
+    restricts the run to global reads [lo, hi) (multi-host sharding:
+    each host streams the file but aligns only its own range);
+    `write_header` off suppresses the SAM header (part files get the
+    header at merge time)."""
     import os
     import queue
     import threading
@@ -665,9 +768,14 @@ def _run_native_engine(aa, genome, index, align_fn=None, dp_stats=None):
     import ctypes as _ct
     dist_acc = [0, 0, (1 << 62), 0, 0, (1 << 62), 0, 0, 0, (1 << 62), -1] \
         if aa.verbose else None
+    rlo, rhi = read_range if read_range is not None else (0, None)
+    eff_start = max(start_read, rlo)
+
     def _batches():
         nonlocal done
         for chunk, fastq in _iter_query_chunks(aa.qfile_name):
+            if rhi is not None and done >= rhi:
+                return   # this host's read range is exhausted
             with timers.stage("parse"):
                 pr = host.parse_queries_native(
                     chunk, fastq, aa.max_query_length, aa.word_len)
@@ -675,11 +783,15 @@ def _run_native_engine(aa, genome, index, align_fn=None, dp_stats=None):
             done += pr.n
             for lo in range(0, pr.n, batch_size):
                 hi = min(lo + batch_size, pr.n)
-                if base + hi <= start_read:
+                if rhi is not None:
+                    hi = min(hi, rhi - base)
+                if hi <= lo:
+                    break
+                if base + hi <= eff_start:
                     continue   # resume: whole batch already emitted
                 # Partial overlap (e.g. a different --batch-size than
                 # the interrupted run): start inside the batch.
-                yield pr, max(lo, start_read - base), hi, base + hi
+                yield pr, max(lo, eff_start - base), hi, base + hi
             if pr.stopped:
                 # Reference semantics: a zero-length record ends the
                 # run (Query.c:306).
@@ -717,7 +829,7 @@ def _run_native_engine(aa, genome, index, align_fn=None, dp_stats=None):
     prefetch = (align_fn is not None
                 and os.environ.get("YT_STAGED_PREFETCH", "1") != "0")
     try:
-        if start_read == 0:
+        if start_read == 0 and write_header:
             emit_q.put((sam.file_header(aa, genome).encode("latin-1"),
                         None))
         if prefetch:
@@ -759,7 +871,7 @@ def _run_native_engine(aa, genome, index, align_fn=None, dp_stats=None):
         if aa.verbose:
             timers.print_report()
             total_s = sum(timers.totals.values())
-            emitted = n - start_read
+            emitted = n - eff_start
             # Run summary (the STATS compile-switch analog,
             # Query.c:519-536).
             print("Processed %d reads: %d seed matches, %d alignments "
@@ -815,7 +927,8 @@ def _run_native_engine(aa, genome, index, align_fn=None, dp_stats=None):
             qs_file.close()
         if out is not sys.stdout.buffer:
             out.close()
-            if os.path.exists(cursor_path) and n >= done:
+            target = done if rhi is None else min(rhi, done)
+            if os.path.exists(cursor_path) and n >= target:
                 os.unlink(cursor_path)
 
 
@@ -1076,23 +1189,7 @@ def _run_batch_engine(aa, genome, index, engine):
             if completed and os.path.exists(cursor_path):
                 os.unlink(cursor_path)
     if multi_host:
-        # Cross-host barrier (a tiny psum over the global mesh), then
-        # host 0 merges the parts in host order.
-        import jax
-        import numpy as np_
-        from jax.sharding import Mesh, PartitionSpec as P
-        from jax import shard_map
-        from .parallel import distributed as dist
-        nd = len(jax.devices())
-        mesh = Mesh(np_.array(jax.devices()).reshape(nd), ("data",))
-        jax.jit(shard_map(
-            lambda x: jax.lax.psum(x.sum(), "data"), mesh=mesh,
-            in_specs=P("data"), out_specs=P()))(
-                np_.ones(nd, np_.float32)).block_until_ready()
-        if jax.process_index() == 0:
-            aa.ofile_name = merged_ofile   # @PG shows the merged name
-            dist.merge_part_files(merged_ofile, jax.process_count(),
-                                  sam.file_header(aa, genome))
+        _multihost_merge(aa, genome, merged_ofile)
 
 
 _WORKER_ALIGNER = None

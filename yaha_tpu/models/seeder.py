@@ -193,18 +193,21 @@ class DeviceSeeder:
         diag_s = np.asarray(flat_d)[:total].view(np.uint32)
         qo_s = np.asarray(flat_q)[:total]
         self.stats["seed_d2h_bytes"] += 8 * total
-        # Un-sort: build row-major offs and copy each row's block.
+        # Un-sort to row-major layout with one vectorized gather: element
+        # j of row r sits at starts[rank(r)] + j in the sorted layout.
         offs = np.zeros(n + 1, np.int64)
         np.cumsum(take, out=offs[1:])
-        diag = np.empty(total, np.uint32)
-        qo = np.empty(total, np.int32)
-        for k in range(n):
-            r = int(order[k])
-            t = int(t_sorted[k])
-            if t == 0:
-                continue
-            diag[offs[r]:offs[r] + t] = diag_s[starts[k]:starts[k] + t]
-            qo[offs[r]:offs[r] + t] = qo_s[starts[k]:starts[k] + t]
+        if total:
+            inv = np.empty(n, np.int64)
+            inv[order] = np.arange(n)
+            row_of = np.repeat(np.arange(n), take)
+            src = (starts[inv[row_of]] +
+                   (np.arange(total) - offs[row_of]))
+            diag = diag_s[src]
+            qo = qo_s[src]
+        else:
+            diag = np.zeros(0, np.uint32)
+            qo = np.zeros(0, np.int32)
         return diag, qo, offs, totals
 
     # ---- phantom injection (QueryMatch.c:57-69) ----
@@ -247,47 +250,91 @@ class DeviceSeeder:
         out1 = self._expand(codes, lengths, self.CAP_TIERS[0])
         allw = np.asarray(out1["allwrapped"])[:rows]
         overflow = np.asarray(out1["overflow"])[:rows]
+        over_rows = np.flatnonzero(overflow)
         out2 = None
-        if overflow.any():
+        n2 = len(over_rows)
+        if n2:
+            # Compacted retry: only the overflowed rows re-expand at the
+            # big tier (the per-query realloc analog, Query.c:81-100) —
+            # the retry batch is the overflow population, not the chunk.
             self.stats["cap_retries"] += 1
-            out2 = self._expand(codes, lengths, self.CAP_TIERS[1])
+            bpad2 = _pow2(max(n2, 16))
+            if self.data_size > 1:
+                bpad2 = max(bpad2, _pow2(self.data_size))
+            codes2 = np.full((bpad2, codes.shape[1]), 4, np.uint8)
+            lengths2 = np.zeros(bpad2, np.int32)
+            codes2[:n2] = codes[over_rows]
+            lengths2[:n2] = lengths[over_rows]
+            out2 = self._expand(codes2, lengths2, self.CAP_TIERS[1])
         d1, q1, offs1, tot1 = self._ragged_fetch(out1, rows,
                                                  self.CAP_TIERS[0])
         if out2 is not None:
-            d2, q2, offs2, tot2 = self._ragged_fetch(out2, rows,
+            d2, q2, offs2, tot2 = self._ragged_fetch(out2, n2,
                                                      self.CAP_TIERS[1])
-            over2 = np.asarray(out2["overflow"])[:rows]
-        # Assemble final row-major arrays (most rows come straight from
-        # tier 1; overflow rows from tier 2; top-tier overflow -> -1).
+            over2 = np.asarray(out2["overflow"])[:n2]
+        pos_in2 = np.full(rows, -1, np.int64)
+        pos_in2[over_rows] = np.arange(n2)
+        # Exceptional rows: tier-2 splices and/or phantom injection.
+        # Everything else leaves tier 1 untouched, so the common case
+        # (no overflow, no all-wrapped window) is zero-copy.
+        exc = np.flatnonzero(overflow | allw)
+        if exc.size == 0:
+            self.stats["seed_device_s"] += time.time() - t0
+            return d1, q1, offs1, tot1
+        # One device gather per plane for the wrapped flags of just the
+        # flagged rows (phantom recompute needs the window bitmap).
+        w_rows1 = np.flatnonzero(allw & ~overflow)
+        wrap1 = (np.asarray(out1["wrapped"][w_rows1])
+                 if len(w_rows1) else None)
+        wrap1_pos = np.full(rows, -1, np.int64)
+        wrap1_pos[w_rows1] = np.arange(len(w_rows1))
+        wrap2 = np.asarray(out2["wrapped"][:n2]) if out2 is not None \
+            else None
+        totals = tot1.copy()
         parts_d, parts_q = [], []
+        prev = 0
         offs = np.zeros(rows + 1, np.int64)
-        totals = np.zeros(rows, np.int64)
-        for r in range(rows):
+        pos = 0
+        for r in exc:
+            # bulk span of untouched tier-1 rows [prev, r)
+            if offs1[r] > offs1[prev]:
+                parts_d.append(d1[offs1[prev]:offs1[r]])
+                parts_q.append(q1[offs1[prev]:offs1[r]])
+                pos += offs1[r] - offs1[prev]
+            offs[prev + 1:r + 1] = offs[prev] + \
+                (offs1[prev + 1:r + 1] - offs1[prev])
             if overflow[r]:
-                if out2 is None or over2[r]:
+                k = pos_in2[r]
+                if out2 is None or over2[k]:
                     # top-tier overflow: host scan for this strand
                     totals[r] = -1
-                    offs[r + 1] = offs[r]
+                    offs[r + 1] = pos
                     self.stats["fallback_rows"] += 1
+                    prev = r + 1
                     continue
-                d, q, t = (d2[offs2[r]:offs2[r + 1]],
-                           q2[offs2[r]:offs2[r + 1]], tot2[r])
+                d = d2[offs2[k]:offs2[k + 1]]
+                q = q2[offs2[k]:offs2[k + 1]]
+                totals[r] = tot2[k]
+                wrapped_row = wrap2[k] if allw[r] else None
             else:
-                d, q, t = (d1[offs1[r]:offs1[r + 1]],
-                           q1[offs1[r]:offs1[r + 1]], tot1[r])
-            if allw[r] and t >= 0:
+                d = d1[offs1[r]:offs1[r + 1]]
+                q = q1[offs1[r]:offs1[r + 1]]
+                wrapped_row = wrap1[wrap1_pos[r]]
+            if wrapped_row is not None and wrapped_row.any():
                 # some window's run is all-wrapped: inject phantoms
-                wr_out = out2 if (overflow[r] and out2 is not None) \
-                    else out1
-                wrapped_row = np.asarray(wr_out["wrapped"][r])
-                if wrapped_row.any():
-                    self.stats["phantom_rows"] += 1
-                    d, q = self._inject_row(codes[r], int(lengths[r]),
-                                            wrapped_row, d, q)
+                self.stats["phantom_rows"] += 1
+                d, q = self._inject_row(codes[r], int(lengths[r]),
+                                        wrapped_row, d, q)
             parts_d.append(d)
             parts_q.append(q)
-            totals[r] = t
-            offs[r + 1] = offs[r] + len(d)
+            pos += len(d)
+            offs[r + 1] = pos
+            prev = r + 1
+        if offs1[rows] > offs1[prev]:
+            parts_d.append(d1[offs1[prev]:offs1[rows]])
+            parts_q.append(q1[offs1[prev]:offs1[rows]])
+        offs[prev + 1:rows + 1] = offs[prev] + \
+            (offs1[prev + 1:rows + 1] - offs1[prev])
         diag = (np.concatenate(parts_d) if parts_d
                 else np.zeros(0, np.uint32))
         qo = (np.concatenate(parts_q) if parts_q
@@ -295,9 +342,4 @@ class DeviceSeeder:
         diag = np.ascontiguousarray(diag, dtype=np.uint32)
         qo = np.ascontiguousarray(qo, dtype=np.int32)
         self.stats["seed_device_s"] += time.time() - t0
-        if aligner is not None:
-            aligner._acc(h2d_bytes=self.stats["seed_h2d_bytes"],
-                         d2h_bytes=0)  # accounted once per chunk below
-            # reset per-chunk byte counters into the aligner's totals
-            self.stats["seed_h2d_bytes"] = 0
         return diag, qo, offs, totals

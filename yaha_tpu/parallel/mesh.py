@@ -19,6 +19,8 @@ analog exists or is needed.
 from __future__ import annotations
 
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -101,7 +103,20 @@ def sharded_expand_sort(mesh: Mesh, hashes, clean, sidx: ShardedIndex, *,
     the device twin of ops/seeds_jax.expand_sort_hits_device with the
     index distributed.  Returns the same dict, replicated over `model`.
     """
-    per = sidx.per
+    fn = _sharded_expand_sort_jit(mesh, sidx.per, max_hits, capacity)
+    diag, qo, total, overflow, wrapped = fn(
+        hashes, clean, sidx.so_dev, sidx.lo_dev, sidx.roa_dev)
+    return {"diag": diag, "qo": qo, "total": total, "overflow": overflow,
+            "wrapped": wrapped,
+            "allwrapped": jnp.any(wrapped, axis=1)}
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_expand_sort_jit(mesh: Mesh, per: int, max_hits: int,
+                             capacity: int):
+    """jit-compiled shard_map for one (mesh, shard size, capacity tier);
+    cached so repeated seed launches skip retracing (jit then caches per
+    input shape)."""
 
     def kernel(h, cl, so, lo, roa):
         so = so[0]
@@ -161,14 +176,11 @@ def sharded_expand_sort(mesh: Mesh, hashes, clean, sidx: ShardedIndex, *,
         wrapped = jax.lax.psum(wrapped, "model") > 0
         return diag_s, qo_s, total, overflow, wrapped
 
-    diag, qo, total, overflow, wrapped = shard_map(
+    return jax.jit(shard_map(
         kernel, mesh=mesh,
         in_specs=(P("data", None), P("data", None), P("model", None),
                   P("model"), P("model", None)),
         out_specs=(P("data", None), P("data", None), P("data"),
                    P("data"), P("data", None)),
         check_vma=False,
-    )(hashes, clean, sidx.so_dev, sidx.lo_dev, sidx.roa_dev)
-    return {"diag": diag, "qo": qo, "total": total, "overflow": overflow,
-            "wrapped": wrapped,
-            "allwrapped": jnp.any(wrapped, axis=1)}
+    ))
