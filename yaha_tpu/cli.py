@@ -46,6 +46,9 @@ yaha_tpu extensions:
                           device); composes with --num-hosts
   --batch-size N          reads per batch
   --max-query-length N    lift the 32 kb read cap
+  --prewarm               compile the device kernel tiers for this
+                          query set into the persistent cache, then
+                          exit (removes the first-run compile cliff)
   --max-region-frags N    skip repeat regions with > N fragments (0=off)
   --resume                continue from the output cursor
   --trace DIR             jax.profiler device trace (jax engines)"""
@@ -277,6 +280,8 @@ def main(argv=None):
             # local mesh against its index shards).
             i += 1
             aa.model_shards = _parse_int(argv[i], "--model-shards")
+        elif a == "--prewarm":
+            aa.prewarm = True
         elif a == "--resume":
             aa.resume = True
         elif a == "--max-query-length":
@@ -525,8 +530,30 @@ def _do_query(aa):
                 seeder = DeviceSeeder(aa, index)
         aligner = StagedAligner(aa, genome, index, backend=backend,
                                 n_threads=aa.num_threads, seeder=seeder)
+        if getattr(aa, "prewarm", False):
+            # Compile-only pass: align a sample of this query set so the
+            # pow2 kernel tiers land in the persistent compile cache
+            # (JAX_COMPILATION_CACHE_DIR); production runs start warm.
+            import time as _time
+            from .native import host as _nh
+            for chunk, fastq in _iter_query_chunks(aa.qfile_name):
+                pr = _nh.parse_queries_native(
+                    chunk, fastq, aa.max_query_length, aa.word_len)
+                t0 = _time.time()
+                aligner.align_chunk(pr, 0, min(pr.n, 1024))
+                print("prewarm: %d reads, %.1f s; kernel tiers cached."
+                      % (min(pr.n, 1024), _time.time() - t0),
+                      file=sys.stderr)
+                break
+            return
 
-        def _align(pr, lo, hi, dist=None):
+        def _align(pr, lo, hi, dist=None, want_stats=False):
+            if want_stats:
+                # -qs through the staged engine (usec amortized per
+                # chunk — the batched phases have no per-read wall).
+                text, sm, nr, stats = aligner.align_chunk(
+                    pr, lo, hi, dist=dist, want_stats=True)
+                return text, stats, sm, nr
             text, sm, nr = aligner.align_chunk(pr, lo, hi, dist=dist)
             return text, None, sm, nr
         _run_native_engine(aa, genome, index, align_fn=_align,
@@ -756,10 +783,6 @@ def _run_native_engine(aa, genome, index, align_fn=None, dp_stats=None,
     writer.start()
     done = 0
     qs_name = getattr(aa, "qs_file_name", None)
-    if qs_name and align_fn is not None:
-        print("-qs is only supported by --engine native; ignoring.",
-              file=sys.stderr)
-        qs_name = None
     qs_file = open(qs_name, "w") if qs_name else None
     if qs_file:
         qs_file.write("query\tlen\tseedMatches\talignments\tusec\n")
@@ -800,7 +823,8 @@ def _run_native_engine(aa, genome, index, align_fn=None, dp_stats=None,
     def _align_one(pr, lo, hi):
         dist = (_ct.c_int64 * 11)() if dist_acc is not None else None
         if align_fn is not None:
-            text, stats, sm, nr = align_fn(pr, lo, hi, dist=dist)
+            text, stats, sm, nr = align_fn(pr, lo, hi, dist=dist,
+                                           want_stats=qs_file is not None)
         else:
             text, stats, sm, nr = host.align_batch_native(
                 pr, lo, hi, genome, index, aa, n_threads=aa.num_threads,

@@ -113,12 +113,22 @@ class DeviceSeeder:
             bpad = max(bpad, _pow2(self.data_size))
         codes = np.full((bpad, lpad), 4, np.uint8)
         lengths = np.zeros(bpad, np.int32)
-        for i in range(n):
-            s0, s1 = int(offs[lo + i]), int(offs[lo + i + 1])
-            fwd = self.code_tab[seqs[s0:s1]]
-            codes[2 * i, :s1 - s0] = fwd
-            codes[2 * i + 1, :s1 - s0] = self.comp_tab[fwd[::-1]]
-            lengths[2 * i] = lengths[2 * i + 1] = s1 - s0
+        lengths[:rows] = np.repeat(lens, 2)
+        total_seg = int(offs[hi]) - int(offs[lo])
+        if total_seg:
+            # Vectorized scatter (no per-read Python): code every base
+            # once, then place row 2i at column j and the revcomp row
+            # 2i+1 at column len-1-j via flat indices.
+            fwd = self.code_tab[seqs[int(offs[lo]):int(offs[hi])]]
+            lens64 = lens.astype(np.int64)
+            row_of = np.repeat(np.arange(n, dtype=np.int64), lens64)
+            pos_in = (np.arange(total_seg, dtype=np.int64) -
+                      np.repeat((offs[lo:hi] - offs[lo]).astype(np.int64),
+                                lens64))
+            flat = codes.reshape(-1)
+            flat[(2 * row_of) * lpad + pos_in] = fwd
+            flat[(2 * row_of + 1) * lpad +
+                 (lens64[row_of] - 1 - pos_in)] = self.comp_tab[fwd]
         return codes, lengths, rows
 
     # ---- device lookup ----

@@ -62,6 +62,10 @@ def _sig(lib):
     lib.yt_batch_gap_count.argtypes = [ct.c_void_p]
     lib.yt_batch_gap_meta.argtypes = [ct.c_void_p, _i32p, _i32p, _i32p,
                                       _i32p]
+    lib.yt_batch_gap_meta2.argtypes = [ct.c_void_p, _i32p, _i32p, _i32p,
+                                       _i64p, _i32p]
+    lib.yt_batch_ext_meta2.argtypes = [ct.c_void_p, _i32p, _i32p, _i32p,
+                                       _i64p, _i32p]
     lib.yt_batch_gap_fetch.argtypes = [ct.c_void_p, ct.c_int64, _i64p,
                                        _u8p, ct.c_int64, _u8p, ct.c_int64]
     lib.yt_batch_gap_apply.argtypes = [
@@ -79,6 +83,8 @@ def _sig(lib):
     lib.yt_batch_finish.argtypes = [
         ct.c_void_p, ct.POINTER(ct.c_void_p), _i64p, _i64p, _i64p,
         _i64p]
+    lib.yt_batch_query_stats.argtypes = [ct.c_void_p, _i64p, _i64p,
+                                         _i64p]
     lib.yt_batch_free.argtypes = [ct.c_void_p]
     lib._staged_sig_done = True
 
@@ -144,6 +150,23 @@ class StagedAligner:
         self.interpret = os.environ.get("YT_PALLAS_INTERPRET", "0") == "1"
         self.lib = host._load()
         _sig(self.lib)
+        # Device-resident problem assembly (ops/gather_dp.py): genome
+        # codes live in HBM for the whole run, the chunk's read codes
+        # upload once per chunk, and each DP bucket's (q, r) planes are
+        # gathered + packed on device from ~26 B/problem of coordinates
+        # (yt_batch_*_meta2) — the h2d problem-plane wall of the remote
+        # link disappears.  YT_STAGED_DEVRES=0 restores host fetch.
+        self.corpus = None
+        if (backend in ("xla", "pallas")
+                and os.environ.get("YT_STAGED_DEVRES", "1") != "0"
+                and hasattr(genome, "codes_buf")):
+            from ..ops.gather_dp import DeviceCorpus
+            codes_np = np.ctypeslib.as_array(
+                ct.cast(genome.codes_buf, _u8p),
+                shape=(int(genome.codes_len),))
+            self.corpus = DeviceCorpus(codes_np)
+            from ..utils import codec
+            self._code_tab = np.asarray(codec.FOUR_BIT_CODES, np.uint8)
         # Launch/byte accounting for the e2e cost decomposition
         # (BASELINE.md): device launches and h2d/d2h problem bytes.
         self.stats = {"dp_launches": 0, "h2d_bytes": 0, "d2h_bytes": 0,
@@ -222,21 +245,28 @@ class StagedAligner:
             g0 = g1
         return parts
 
-    def _run_gap_bucket(self, qa, qlens, ra, rlens, lbws, rbws):
+    def _run_gap_bucket(self, qa, qlens, ra, rlens, lbws, rbws,
+                        qg=None, rg=None, dev_gather=None):
         """Returns a list of result parts
         [(local_idx, format, plane, idc, plane_stride, row_stride,
-          score)]; arrays stay alive via the returned tuples."""
+          score)]; arrays stay alive via the returned tuples.
+        `dev_gather(mpad, pack)`, when given, assembles the (q, r)
+        planes on device (qa/ra are None then)."""
         import time
         aa = self.aa
         kw = dict(go=aa.go_cost, ge=aa.ge_cost, rc=aa.r_cost,
                   ms=aa.m_score, max_gap=aa.max_gap,
                   max_intron=aa.max_intron)
-        n, qg = qa.shape
-        rg = ra.shape[1]
+        n = len(qlens)
+        if qg is None:
+            qg, rg = qa.shape[1], ra.shape[1]
         wband_need = int((lbws + rbws).max()) + 1
         wband = _pow2(wband_need)
         self._acc(dp_launches=(1))
-        self._acc(h2d_bytes=(qa.nbytes + ra.nbytes))
+        if dev_gather is None:
+            self._acc(h2d_bytes=(n * (qg + rg)))
+        else:
+            self._acc(h2d_bytes=(26 * n))   # coordinates only
         t0 = time.time()
         if self.backend == "pallas" and (wband <= 512 and wband < rg + 1
                                          or rg <= 512):
@@ -249,12 +279,14 @@ class StagedAligner:
             ql_p = np.pad(qlens, (0, pad))
             rl_p = np.pad(rlens, (0, pad))
             lb_p = np.pad(lbws, (0, pad))
-            # 4-bit-packed uploads (codes are 4-bit): halves h2d.
-            self._acc(h2d_bytes=-((qa.nbytes + ra.nbytes + 1) // 2))
-            args = (np.pad(sw_pallas.pack4_host(qa), ((0, pad), (0, 0))),
-                    ql_p,
-                    np.pad(sw_pallas.pack4_host(ra), ((0, pad), (0, 0))),
-                    rl_p, lb_p, np.pad(rbws, (0, pad)))
+            if dev_gather is not None:
+                qp, rp = dev_gather(n + pad, True)
+            else:
+                # 4-bit-packed uploads (codes are 4-bit): halves h2d.
+                self._acc(h2d_bytes=-((n * (qg + rg) + 1) // 2))
+                qp = np.pad(sw_pallas.pack4_host(qa), ((0, pad), (0, 0)))
+                rp = np.pad(sw_pallas.pack4_host(ra), ((0, pad), (0, 0)))
+            args = (qp, ql_p, rp, rl_p, lb_p, np.pad(rbws, (0, pad)))
             if banded:
                 out = sw_pallas.anchored_forward_pallas_banded_p4(
                     *args, wband=wband, interpret=self.interpret, **kw)
@@ -307,11 +339,14 @@ class StagedAligner:
             # bounded set of shapes across chunks (pad rows are valid
             # 1x1 problems; their results are sliced away).
             pad = _pow2(n, 64) - n
+            if dev_gather is not None:
+                qa_d, ra_d = dev_gather(n + pad, False)
+            else:
+                qa_d = np.pad(qa, ((0, pad), (0, 0)))
+                ra_d = np.pad(ra, ((0, pad), (0, 0)))
             out = sw_batch.batched_anchored_forward(
-                np.pad(qa, ((0, pad), (0, 0))),
-                np.pad(qlens, (0, pad), constant_values=1),
-                np.pad(ra, ((0, pad), (0, 0))),
-                np.pad(rlens, (0, pad), constant_values=1),
+                qa_d, np.pad(qlens, (0, pad), constant_values=1),
+                ra_d, np.pad(rlens, (0, pad), constant_values=1),
                 np.pad(lbws, (0, pad), constant_values=1),
                 np.pad(rbws, (0, pad), constant_values=1), **kw)
             out = {k: np.asarray(v) for k, v in out.items()}
@@ -323,18 +358,25 @@ class StagedAligner:
         return [(np.arange(n), FMT_EOIDC, eo, idc,
                  eo.shape[1] * eo.shape[2], eo.shape[2], score)]
 
-    def _run_ext_bucket(self, qa, qlens, ra, rlens):
+    def _run_ext_bucket(self, qa, qlens, ra, rlens, qg=None, rg=None,
+                        dev_gather=None):
         """Returns a list of result parts
         [(local_idx, fmt, plane, idc, plane_stride, row_stride,
-          maxi, maxj, score)]."""
+          maxi, maxj, score)].  `dev_gather(mpad, pack)`, when given,
+        assembles the (q, r) planes on device (qa/ra are None then)."""
         import time
         aa = self.aa
         kw = dict(band_width=aa.band_width, go=aa.go_cost, ge=aa.ge_cost,
                   rc=aa.r_cost, ms=aa.m_score, max_gap=aa.max_gap,
                   max_intron=aa.max_intron, x_cutoff=aa.x_cutoff)
-        n = qa.shape[0]
+        n = len(qlens)
+        if qg is None:
+            qg, rg = qa.shape[1], ra.shape[1]
         self._acc(dp_launches=(1))
-        self._acc(h2d_bytes=(qa.nbytes + ra.nbytes))
+        if dev_gather is None:
+            self._acc(h2d_bytes=(n * (qg + rg)))
+        else:
+            self._acc(h2d_bytes=(26 * n))   # coordinates only
         t0 = time.time()
         if self.backend == "pallas":
             from ..ops import sw_pallas
@@ -342,13 +384,16 @@ class StagedAligner:
             # compiled dimension, so unpadded batches would recompile
             # per chunk (minutes each through a remote-TPU link).
             pad = _pow2(n, sw_pallas.TILE) - n
-            # 4-bit-packed uploads (codes are 4-bit): halves h2d.
-            self._acc(h2d_bytes=-((qa.nbytes + ra.nbytes + 1) // 2))
+            if dev_gather is not None:
+                qp, rp = dev_gather(n + pad, True)
+            else:
+                # 4-bit-packed uploads (codes are 4-bit): halves h2d.
+                self._acc(h2d_bytes=-((n * (qg + rg) + 1) // 2))
+                qp = np.pad(sw_pallas.pack4_host(qa), ((0, pad), (0, 0)))
+                rp = np.pad(sw_pallas.pack4_host(ra), ((0, pad), (0, 0)),
+                            constant_values=255)
             out = sw_pallas.extension_forward_pallas_p4(
-                np.pad(sw_pallas.pack4_host(qa), ((0, pad), (0, 0))),
-                np.pad(qlens, (0, pad)),
-                np.pad(sw_pallas.pack4_host(ra), ((0, pad), (0, 0)),
-                       constant_values=255),
+                qp, np.pad(qlens, (0, pad)), rp,
                 np.pad(rlens, (0, pad)), interpret=self.interpret, **kw)
             # One stacked transfer for the three per-problem scalars
             # (three separate d2h calls each pay a round trip).
@@ -364,10 +409,10 @@ class StagedAligner:
             # long reads) fall back to the plane path: the decode's
             # jump-plane transients scale with rows x TILE and would
             # not fit HBM there.
-            if self.rle and qa.shape[1] <= 16384:
+            if self.rle and qg <= 16384:
                 from ..ops import decode_jax
                 w = out["bt"].shape[2]
-                bound = 2 * qa.shape[1] + w + 2
+                bound = 2 * qg + w + 2
                 cap = _pow2(bound, 32)
                 rle_dev, nops = self._device_rle(
                     decode_jax.rle_decode_band, out["bt"], out["maxi"],
@@ -426,12 +471,17 @@ class StagedAligner:
         else:
             from ..ops import sw_batch
             pad = _pow2(n, 64) - n       # stable jit shape tiers
+            if dev_gather is not None:
+                qa_d, ra_d = dev_gather(n + pad, False)
+            else:
+                qa_d = np.pad(qa, ((0, pad), (0, 0)))
+                ra_d = np.pad(ra, ((0, pad), (0, 0)),
+                              constant_values=255)
             out = sw_batch.batched_extension_forward(
-                np.pad(qa, ((0, pad), (0, 0))),
-                np.pad(qlens, (0, pad), constant_values=1),
-                np.pad(ra, ((0, pad), (0, 0)), constant_values=255),
-                np.pad(rlens, (0, pad),
-                       constant_values=1 + 2 * aa.band_width), **kw)
+                qa_d, np.pad(qlens, (0, pad), constant_values=1),
+                ra_d, np.pad(rlens, (0, pad),
+                             constant_values=1 + 2 * aa.band_width),
+                **kw)
             out = {k: np.asarray(v) for k, v in out.items()}
         eo = np.ascontiguousarray(out["eo"][:n])
         idc = np.ascontiguousarray(out["idc"][:n].astype(np.int32))
@@ -446,7 +496,60 @@ class StagedAligner:
 
     # ---- phase drivers ----
 
-    def _gap_phase(self, ctx):
+    def _chunk_rows(self, pr, lo, hi):
+        """Upload the chunk's forward code rows (one vectorized pass
+        over the parsed reads); the device derives the revcomp rows.
+        Shapes are pow2-tiered so the gather programs stay cached."""
+        n = hi - lo
+        offs = np.ctypeslib.as_array(pr.seq_offs, shape=(pr.n + 1,))
+        total = int(offs[pr.n])
+        seqs = np.ctypeslib.as_array(pr.seqs, shape=(max(total, 1),))
+        lens = (offs[lo + 1:hi + 1] - offs[lo:hi]).astype(np.int64)
+        lmax = int(lens.max()) if n else 1
+        lpad = _pow2(max(lmax, 64), 64)
+        npad = _pow2(n, 256)
+        fwd = np.full((npad, lpad), 4, np.uint8)
+        seg0, seg1 = int(offs[lo]), int(offs[hi])
+        if seg1 > seg0:
+            codes = self._code_tab[seqs[seg0:seg1]]
+            row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+            pos = (np.arange(seg1 - seg0, dtype=np.int64) -
+                   np.repeat((offs[lo:hi] - seg0).astype(np.int64),
+                             lens))
+            fwd.reshape(-1)[row_of * lpad + pos] = codes
+        lens_p = np.zeros(npad, np.int32)
+        lens_p[:n] = lens
+        self._acc(h2d_bytes=(fwd.nbytes // 2 + lens_p.nbytes))
+        return self.corpus.chunk_rows(fwd, lens_p)
+
+    def _meta2(self, ctx, n, fn):
+        """Fetch the device-assembly coordinates for a phase."""
+        q_row = np.empty(n, np.int32)
+        q_src = np.empty(n, np.int32)
+        q_copy = np.empty(n, np.int32)
+        r_src = np.empty(n, np.int64)
+        r_copy = np.empty(n, np.int32)
+        fn(ctx, _p32(q_row), _p32(q_src), _p32(q_copy), _p64(r_src),
+           _p32(r_copy))
+        return q_row, q_src, q_copy, r_src, r_copy
+
+    def _mk_gather(self, rows2, meta2, idx, qlen, rlen, rev, rpad,
+                   qg, rg):
+        """Device plane assembler for one bucket slice: pads the
+        coordinate arrays to the caller's tier and gathers on device."""
+        q_row, q_src, q_copy, r_src, r_copy = meta2
+
+        def g(mpad, pack, _i=idx):
+            mp = mpad - len(_i)
+            pz = lambda a: np.pad(a[_i], (0, mp))
+            return self.corpus.gather(
+                rows2, pz(q_row), pz(q_src), pz(q_copy), pz(qlen),
+                pz(r_src), pz(r_copy), pz(rlen),
+                pz(rev) if rev is not None else None,
+                qg=qg, rg=rg, rpad=rpad, pack=pack)
+        return g
+
+    def _gap_phase(self, ctx, rows2=None):
         lib = self.lib
         n = int(lib.yt_batch_gap_count(ctx))
         self._acc(gap_problems=(n))
@@ -463,20 +566,30 @@ class StagedAligner:
         rbw = np.empty(n, np.int32)
         lib.yt_batch_gap_meta(ctx, _p32(qlen), _p32(rlen), _p32(lbw),
                               _p32(rbw))
+        meta2 = None
+        if rows2 is not None:
+            meta2 = self._meta2(ctx, n, lib.yt_batch_gap_meta2)
         qb = _pow2_arr(qlen)
         rb = _pow2_arr(rlen)
         keys = (qb << 32) | rb
+        from ..ops.gather_dp import PAGE_OVERLAP
         for key in np.unique(keys):
             bidx = np.nonzero(keys == key)[0].astype(np.int64)
             qg = int(key >> 32)
             rg = int(key & 0xFFFFFFFF)
+            use_dev = meta2 is not None and rg <= PAGE_OVERLAP
             for lo in range(0, len(bidx), MAX_DEVICE_BATCH):
                 idx = np.ascontiguousarray(bidx[lo:lo + MAX_DEVICE_BATCH])
                 m = len(idx)
-                qa = np.zeros((m, qg), np.uint8)
-                ra = np.zeros((m, rg), np.uint8)
-                lib.yt_batch_gap_fetch(ctx, m, _p64(idx), _pu8(qa), qg,
-                                       _pu8(ra), rg)
+                qa = ra = dev_gather = None
+                if use_dev:
+                    dev_gather = self._mk_gather(
+                        rows2, meta2, idx, qlen, rlen, None, 0, qg, rg)
+                else:
+                    qa = np.zeros((m, qg), np.uint8)
+                    ra = np.zeros((m, rg), np.uint8)
+                    lib.yt_batch_gap_fetch(ctx, m, _p64(idx), _pu8(qa),
+                                           qg, _pu8(ra), rg)
                 ql_b = qlen[idx].astype(np.int64)
                 rl_b = rlen[idx].astype(np.int64)
                 lb_b = lbw[idx].astype(np.int64)
@@ -485,7 +598,9 @@ class StagedAligner:
                     (np.minimum(lb_b + rb_b + 1, rl_b + 1) * ql_b).sum()))
                 for (lidx, fmt, plane, idc, pstride, rstride,
                      score) in self._run_gap_bucket(qa, ql_b, ra, rl_b,
-                                                    lb_b, rb_b):
+                                                    lb_b, rb_b, qg=qg,
+                                                    rg=rg,
+                                                    dev_gather=dev_gather):
                     gidx = np.ascontiguousarray(idx[lidx])
                     lib.yt_batch_gap_apply(
                         ctx, fmt, len(gidx), _p64(gidx),
@@ -493,7 +608,7 @@ class StagedAligner:
                         _p32(idc) if idc is not None else None,
                         pstride, rstride, _p32(score))
 
-    def _ext_phase(self, ctx):
+    def _ext_phase(self, ctx, rows2=None):
         lib = self.lib
         n = int(lib.yt_batch_ext_count(ctx))
         self._acc(ext_problems=(n))
@@ -507,26 +622,37 @@ class StagedAligner:
         rlen = np.empty(n, np.int32)
         rev = np.empty(n, np.uint8)
         lib.yt_batch_ext_meta(ctx, _p32(qlen), _p32(rlen), _pu8(rev))
+        meta2 = None
+        if rows2 is not None:
+            meta2 = self._meta2(ctx, n, lib.yt_batch_ext_meta2)
         bw2 = 2 * self.aa.band_width
         qb = _pow2_arr(qlen)
+        from ..ops.gather_dp import PAGE_OVERLAP
         for key in np.unique(qb):
             bidx = np.nonzero(qb == key)[0].astype(np.int64)
             qg = int(key)
             rg = qg + 2 * bw2
+            use_dev = meta2 is not None and rg <= PAGE_OVERLAP
             for lo in range(0, len(bidx), MAX_DEVICE_BATCH):
                 idx = np.ascontiguousarray(bidx[lo:lo + MAX_DEVICE_BATCH])
                 m = len(idx)
-                qa = np.zeros((m, qg), np.uint8)
-                ra = np.full((m, rg), 255, np.uint8)
-                lib.yt_batch_ext_fetch(ctx, m, _p64(idx), _pu8(qa), qg,
-                                       _pu8(ra), rg)
+                qa = ra = dev_gather = None
+                if use_dev:
+                    dev_gather = self._mk_gather(
+                        rows2, meta2, idx, qlen, rlen, rev, 255, qg, rg)
+                else:
+                    qa = np.zeros((m, qg), np.uint8)
+                    ra = np.full((m, rg), 255, np.uint8)
+                    lib.yt_batch_ext_fetch(ctx, m, _p64(idx), _pu8(qa),
+                                           qg, _pu8(ra), rg)
                 ql_b = qlen[idx].astype(np.int64)
                 rl_b = rlen[idx].astype(np.int64)
                 self._acc(ext_cells=int(
                     (ql_b * (2 * bw2 + 1)).sum()))
                 for (lidx, fmt, plane, idc, pstride, rstride, maxi,
-                     maxj, score) in self._run_ext_bucket(qa, ql_b, ra,
-                                                          rl_b):
+                     maxj, score) in self._run_ext_bucket(
+                         qa, ql_b, ra, rl_b, qg=qg, rg=rg,
+                         dev_gather=dev_gather):
                     gidx = np.ascontiguousarray(idx[lidx])
                     lib.yt_batch_ext_apply(
                         ctx, fmt, len(gidx), _p64(gidx),
@@ -537,12 +663,16 @@ class StagedAligner:
 
     # ---- driver ----
 
-    def align_chunk(self, pr, lo: int, hi: int, dist=None):
+    def align_chunk(self, pr, lo: int, hi: int, dist=None,
+                    want_stats=False):
         """Align reads [lo, hi) of a ParsedReads through the staged
         pipeline; returns (sam_bytes, seed_matches, records).  `dist`,
         if given, is a ctypes (c_int64 * 11) array filled with the
         per-batch STATS distributions (same fields as
-        host.align_batch_native)."""
+        host.align_batch_native).  `want_stats` appends a fourth
+        return: the QUERYSTATS TSV rows (-qs; Query.c:480-491), with
+        usec amortized across the chunk — the batched phases have no
+        per-read wall."""
         lib = self.lib
         aa = self.aa
         genome = self.genome
@@ -554,12 +684,24 @@ class StagedAligner:
 
         import time as _t0mod
         t_begin = _t0mod.time()
+        t_chunk0 = t_begin
         seeds = None
         if self.seeder is not None:
             # Device seed phase: hits arrive sorted by (diag, qo) per
             # (read, strand) row; rows that overflowed the top capacity
             # tier carry total -1 and take the host scan inside phase 1.
             seeds = self.seeder.seed_chunk(pr, lo, hi, self)
+        rows2 = None
+        if self.corpus is not None:
+            # Dispatch the chunk-codes upload BEFORE the native phase-1
+            # so the h2d overlaps the seed/chain/assembly host work; the
+            # dispatch cost counts as device time (on a local chip the
+            # packed upload is sub-ms DMA).
+            t_up = _t0mod.time()
+            rows2 = self._chunk_rows(pr, lo, hi)
+            dt_up = _t0mod.time() - t_up
+            self._acc(device_s=dt_up)
+            t_begin += dt_up
         ctx = lib.yt_batch_begin(
             pr.seqs, off64(pr.seq_offs, lo), pr.ids,
             off64(pr.id_offs, lo), pr.quals if aa.fastq else None,
@@ -584,14 +726,14 @@ class StagedAligner:
             t1 = _t.time()
             self._acc(begin_s=(t1 - t_begin))
             d0 = self.stats["device_s"]
-            self._gap_phase(ctx)
+            self._gap_phase(ctx, rows2)
             t2 = _t.time()
             d1 = self.stats["device_s"]
             self._acc(gap_host_s=(t2 - t1 - (d1 - d0)))
             lib.yt_batch_phase2(ctx)
             t3 = _t.time()
             self._acc(phase2_s=(t3 - t2))
-            self._ext_phase(ctx)
+            self._ext_phase(ctx, rows2)
             t4 = _t.time()
             d2 = self.stats["device_s"]
             self._acc(ext_host_s=(t4 - t3 - (d2 - d1)))
@@ -609,6 +751,25 @@ class StagedAligner:
                 text = ct.string_at(out_text, out_len.value)
             finally:
                 lib.yt_free(out_text)
+            if want_stats:
+                n = hi - lo
+                ql = np.empty(n, np.int64)
+                sd = np.empty(n, np.int64)
+                al = np.empty(n, np.int64)
+                lib.yt_batch_query_stats(ctx, _p64(ql), _p64(sd),
+                                         _p64(al))
+                id_offs = np.ctypeslib.as_array(pr.id_offs,
+                                                shape=(pr.n + 1,))
+                blob = np.ctypeslib.as_array(
+                    pr.ids, shape=(max(int(id_offs[pr.n]), 1),)).tobytes()
+                usec = int((_t.time() - t_chunk0) * 1e6 / max(n, 1))
+                rows = []
+                for i in range(n):
+                    a, b = int(id_offs[lo + i]), int(id_offs[lo + i + 1])
+                    rows.append(b"%s\t%d\t%d\t%d\t%d\n" % (
+                        blob[a:b], ql[i], sd[i], al[i], usec))
+                return (text, int(sm.value), int(nr.value),
+                        b"".join(rows))
             return text, int(sm.value), int(nr.value)
         finally:
             lib.yt_batch_free(ctx)

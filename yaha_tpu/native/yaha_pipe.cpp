@@ -455,6 +455,21 @@ struct State {
     }
 };
 
+// py_slice's clamping as coordinates: the (start, n_copy) such that
+// py_slice == src[start : start + n_copy] zero-padded to count.  Used by
+// the *_meta2 exports so the device problem gather reproduces the arena
+// slices bit-exactly without the bytes ever crossing the link.
+static void py_range(int64_t src_len, int64_t start, int64_t count,
+                     int64_t* out_start, int32_t* out_copy) {
+    int64_t stop = start + count;
+    if (start < 0) { start += src_len; if (start < 0) start = 0; }
+    if (stop < 0) { stop += src_len; if (stop < 0) stop = 0; }
+    if (start > src_len) start = src_len;
+    if (stop > src_len) stop = src_len;
+    *out_start = start;
+    *out_copy = (int32_t)std::max<int64_t>(stop - start, 0);
+}
+
 // Python-slice-semantics copy: src[start:start+count] with negative-index
 // wrapping and clamping, zero-padded to count.  Only degenerate chop
 // offsets (reference UB emulation, NOTES.md) ever leave the normal range.
@@ -2302,8 +2317,16 @@ struct StagedProb {
     int32_t read;        // slot index
     int32_t sfrag_idx;   // gap: index into clump->sfrags; ext: -1
     uint8_t reverse;     // ext only
+    uint8_t strand;      // clump strand: 0 = fwd codes, 1 = rev codes
     int32_t qlen, rlen, lbw, rbw;
     int64_t q_off, r_off;    // offsets into the read slot's slice arena
+    // Source coordinates for device-resident problem assembly (the
+    // *_meta2 exports): the q slice is strand-codes[q_src : q_src +
+    // q_copy] (zero-filled to qlen; whole buffer reversed when
+    // `reverse`), the r slice is genome-codes[r_src : r_src + r_copy]
+    // likewise — the exact py_slice clamping baked in host-side.
+    int64_t q_src = 0, r_src = 0;
+    int32_t q_copy = 0, r_copy = 0;
 };
 
 struct ReadSlot {
@@ -2450,10 +2473,13 @@ static bool stage1_make_gap(State& st, SFrag& sf1, SFrag& sf2,
             p.read = read;
             p.sfrag_idx = sfrag_idx;
             p.reverse = 0;
+            p.strand = clump.get(ST_REVERSED) ? 1 : 0;
             p.qlen = (int32_t)q_gap;
             p.rlen = (int32_t)r_gap;
             p.lbw = (int32_t)lbw;
             p.rbw = (int32_t)rbw;
+            py_range(st.q_len, nf.sqo, q_gap, &p.q_src, &p.q_copy);
+            py_range(g.codes_len, nf.sro, r_gap, &p.r_src, &p.r_copy);
             p.q_off = arena_append(slot.arena, q_codes, st.q_len, nf.sqo,
                                    q_gap);
             p.r_off = arena_append(slot.arena, g.codes, g.codes_len,
@@ -2594,9 +2620,14 @@ static void stage2_defer_ext(State& st, ReadSlot& slot, Clump& clump,
     p.read = read;
     p.sfrag_idx = -1;
     p.reverse = reverse ? 1 : 0;
+    p.strand = clump.get(ST_REVERSED) ? 1 : 0;
     p.qlen = (int32_t)q_len;
     p.rlen = (int32_t)r_len;
     p.lbw = p.rbw = 0;
+    py_range(st.q_len, reverse ? q_off - q_len + 1 : q_off, q_len,
+             &p.q_src, &p.q_copy);
+    py_range(g.codes_len, reverse ? r_off - r_len + 1 : r_off, r_len,
+             &p.r_src, &p.r_copy);
     size_t base;
     if (reverse) {
         p.q_off = arena_append(slot.arena, q_codes, st.q_len,
@@ -3232,6 +3263,25 @@ void yt_batch_gap_meta(void* h, int32_t* qlen, int32_t* rlen,
     }
 }
 
+// Source coordinates for device-resident problem assembly: the gap
+// problem k's q slice is strand-row q_row[k] of the chunk's code batch
+// at [q_src, q_src + q_copy) zero-filled to qlen, its r slice is genome
+// codes [r_src, r_src + r_copy) zero-filled to rlen (py_range-clamped
+// host-side).  The planes never cross the host<->device link.
+void yt_batch_gap_meta2(void* h, int32_t* q_row, int32_t* q_src,
+                        int32_t* q_copy, int64_t* r_src,
+                        int32_t* r_copy) {
+    yp::BatchCtx& c = *(yp::BatchCtx*)h;
+    for (size_t k = 0; k < c.gap_ptr.size(); k++) {
+        const yp::StagedProb& p = *c.gap_ptr[k];
+        q_row[k] = 2 * p.read + p.strand;
+        q_src[k] = (int32_t)p.q_src;
+        q_copy[k] = p.q_copy;
+        r_src[k] = p.r_src;
+        r_copy[k] = p.r_copy;
+    }
+}
+
 void yt_batch_gap_fetch(void* h, int64_t n, const int64_t* idx,
                         uint8_t* q, int64_t qstride,
                         uint8_t* r, int64_t rstride) {
@@ -3314,6 +3364,24 @@ void yt_batch_ext_meta(void* h, int32_t* qlen, int32_t* rlen,
         qlen[k] = c.ext_ptr[k]->qlen;
         rlen[k] = c.ext_ptr[k]->rlen;
         rev[k] = c.ext_ptr[k]->reverse;
+    }
+}
+
+// Device-assembly coordinates for the extension problems (see
+// yt_batch_gap_meta2); `reverse` problems (yt_batch_ext_meta's rev)
+// additionally reverse the whole zero-filled buffer, i.e. element j
+// reads source position qlen-1-j (resp. rlen-1-j).
+void yt_batch_ext_meta2(void* h, int32_t* q_row, int32_t* q_src,
+                        int32_t* q_copy, int64_t* r_src,
+                        int32_t* r_copy) {
+    yp::BatchCtx& c = *(yp::BatchCtx*)h;
+    for (size_t k = 0; k < c.ext_ptr.size(); k++) {
+        const yp::StagedProb& p = *c.ext_ptr[k];
+        q_row[k] = 2 * p.read + p.strand;
+        q_src[k] = (int32_t)p.q_src;
+        q_copy[k] = p.q_copy;
+        r_src[k] = p.r_src;
+        r_copy[k] = p.r_copy;
     }
 }
 
@@ -3467,6 +3535,22 @@ int yt_batch_finish(void* h, char** out_text, int64_t* out_len,
     if (seed_matches) *seed_matches = seed_sum;
     if (records) *records = rec_sum;
     return 0;
+}
+
+// Per-read QUERYSTATS fields (Query.c:480-491 analog) for the staged
+// engine's -qs: query length, seed matches, alignments printed.  Call
+// after yt_batch_finish (alignment counts are final) and before
+// yt_batch_free; the caller owns the id strings (ParsedReads) and the
+// timing (batched phases amortize wall across the chunk).
+void yt_batch_query_stats(void* h, int64_t* qlen, int64_t* seeds,
+                          int64_t* aligns) {
+    yp::BatchCtx& c = *(yp::BatchCtx*)h;
+    for (int64_t i = 0; i < c.n_reads; i++) {
+        yp::ReadSlot& slot = c.slots[(size_t)i];
+        qlen[i] = slot.st.q_len;
+        seeds[i] = slot.seed_matches;
+        aligns[i] = (int64_t)slot.st.clumps.size();
+    }
 }
 
 void yt_batch_free(void* h) {
