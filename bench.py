@@ -331,6 +331,11 @@ def bench_e2e_staged_tpu(n_reads=20000, read_len=100, err=0.02):
             "device_plus_transfer_s": round(s["device_s"], 2),
             "dp_launches": s["dp_launches"],
             "gap_problems": s["gap_problems"],
+            # Which kernel serves the gap problems (VERDICT r3 #6): the
+            # full-matrix kernel's share of real workloads.
+            "gap_dispatch": {"banded": s["gap_banded"],
+                             "full": s["gap_full"],
+                             "fallback": s["gap_fallback"]},
             "ext_problems": s["ext_problems"],
             "h2d_mb": round(s["h2d_bytes"] / 1e6, 1),
             "d2h_mb": round(s["d2h_bytes"] / 1e6, 1),

@@ -29,18 +29,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _time_best(fn, args_list, windows=5):
+def _time_windows(fn, args_list, windows=5):
     """Every timed launch uses a DISTINCT input set: the remote-TPU
     execution path memoizes bit-identical launches (NOTES.md), so
     repeating any input would measure the cache, not the device.
-    args_list must hold windows+1 groups; group 0 warms/compiles."""
+    args_list must hold windows+1 groups; group 0 warms/compiles.
+    Returns the sorted per-launch window times (min..max) — the idle-box
+    capture protocol (VERDICT r3 #7) quotes min/median/max so the
+    tunnel-load spread is visible in the published number."""
     groups = len(args_list)
     assert groups >= windows + 1, (groups, windows)
     per = max(1, groups // (windows + 1))
     for a in args_list[:per]:
         r = fn(a)
     jax_block(r)
-    best = float("inf")
+    dts = []
     for wdx in range(windows):
         grp = args_list[(wdx + 1) * per:(wdx + 2) * per]
         if not grp:
@@ -49,8 +52,19 @@ def _time_best(fn, args_list, windows=5):
         for a in grp:
             r = fn(a)
         jax_block(r)
-        best = min(best, (time.time() - t0) / len(grp))
-    return best
+        dts.append((time.time() - t0) / len(grp))
+    return sorted(dts)
+
+
+def _time_best(fn, args_list, windows=5):
+    return _time_windows(fn, args_list, windows)[0]
+
+
+def _spread(dts, scale):
+    """{min, median, max} of scale/dt (rate units)."""
+    return {"max": round(scale / dts[0] / 1e9, 2),
+            "median": round(scale / dts[len(dts) // 2] / 1e9, 2),
+            "min": round(scale / dts[-1] / 1e9, 2)}
 
 
 def jax_block(x):
@@ -86,11 +100,68 @@ def bench_ext_kernel():
         arg_sets.append(tuple(jnp.asarray(x)
                               for x in (q2, qlens, r, rlens)))
     fn = lambda a: sw_pallas.extension_forward_pallas(*a, **kw)
-    dt = _time_best(fn, arg_sets)
+    dts = _time_windows(fn, arg_sets)
     w = 21
     cells = n * ql * w
     bt_bytes = n * (ql + 1) * w      # 1 B/cell backtrack stream
-    return cells / dt, bt_bytes / dt, n, ql, w
+    return cells / dts[0], bt_bytes / dts[0], n, ql, w, \
+        _spread(dts, cells)
+
+
+def bench_anchored_kernels():
+    """Both anchored (gap-fill) kernels at their production shapes
+    (bench.py dispatch): the full-matrix kernel at its wide-band shape
+    and the band-relative kernel at a long-gap-fill shape — with the
+    windowed spread (VERDICT r3 #6/#7)."""
+    from yaha_tpu.ops import sw_pallas
+    import jax.numpy as jnp
+    rng = np.random.default_rng(11)
+    n = sw_pallas.TILE
+    out = {}
+    # full-matrix, unbanded wide-band shape (bench.bench_anchored)
+    ql, rl = 64, 96
+    q = rng.integers(0, 4, (n, ql)).astype(np.uint8)
+    r = rng.integers(0, 4, (n, rl)).astype(np.uint8)
+    qlens = np.full(n, ql, np.int32)
+    rlens = np.full(n, rl, np.int32)
+    lbw = np.full(n, rl + 1, np.int32)
+    rbw = np.full(n, rl + 1, np.int32)
+    kw = dict(go=5, ge=2, rc=3, ms=1, max_gap=50, max_intron=50)
+    args = []
+    for s in range(18):
+        q2 = q.copy()
+        q2[:, 0] = (q2[:, 0] + s) % 4
+        q2[:, 1] = (q2[:, 1] + s // 4) % 4
+        args.append(tuple(jnp.asarray(x) for x in
+                          (q2, qlens, r, rlens, lbw, rbw)))
+    dts = _time_windows(
+        lambda a: sw_pallas.anchored_forward_pallas(*a, **kw), args)
+    out["anchored_full_gcells_s"] = _spread(dts, n * ql * rl)
+    # band-relative long-gap shape (bench.bench_anchored_banded:
+    # ql=192 rl=256 lbw=5 rbw=69, wband=75)
+    ql2, rl2, d = 192, 256, 5
+    lbw_v, rbw_v = d, d + (rl2 - ql2)
+    wband = lbw_v + rbw_v + 1
+    q = rng.integers(0, 4, (n, ql2)).astype(np.uint8)
+    r = rng.integers(0, 4, (n, rl2)).astype(np.uint8)
+    qlens = np.full(n, ql2, np.int32)
+    rlens = np.full(n, rl2, np.int32)
+    lbw = np.full(n, lbw_v, np.int32)
+    rbw = np.full(n, rbw_v, np.int32)
+    args = []
+    for s in range(18):
+        q2 = q.copy()
+        q2[:, 0] = (q2[:, 0] + s) % 4
+        q2[:, 1] = (q2[:, 1] + s // 4) % 4
+        args.append(tuple(jnp.asarray(x) for x in
+                          (q2, qlens, r, rlens, lbw, rbw)))
+    dts = _time_windows(
+        lambda a: sw_pallas.anchored_forward_pallas_banded(
+            *a, wband=wband, **kw), args)
+    cells_per = sum(min(i + rbw_v, rl2) - max(i - lbw_v, 1) + 1
+                    for i in range(1, ql2 + 1))
+    out["anchored_banded_gcells_s"] = _spread(dts, n * cells_per)
+    return out
 
 
 def bench_vpu_int32():
@@ -155,7 +226,8 @@ def bench_hbm_store():
 def main():
     import jax
     plat = jax.devices()[0].platform
-    cells_s, bt_bytes_s, n, ql, w = bench_ext_kernel()
+    cells_s, bt_bytes_s, n, ql, w, ext_spread = bench_ext_kernel()
+    anch = bench_anchored_kernels()
     vpu_ops_s = bench_vpu_int32()
     hbm_bytes_s = bench_hbm_store()
     # Static per-cell vector-op count of _ext_kernel.col_step, counted
@@ -174,7 +246,12 @@ def main():
         "vpu_ops_per_cell_available": round(vpu_ops_s / cells_s, 1),
         "static_ops_per_cell": OPS_PER_CELL,
         "bt_stream_fraction_of_hbm": round(bt_bytes_s / hbm_bytes_s, 3),
+        # Windowed spread (min/median/max over 5 distinct-input
+        # windows): the idle-box capture protocol of VERDICT r3 #7 —
+        # quote the spread, not a single cell.
+        "ext_kernel_gcells_s_spread": ext_spread,
     }
+    out.update(anch)
     print(json.dumps(out))
 
 

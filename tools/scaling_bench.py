@@ -1,13 +1,17 @@
 #!/usr/bin/env python3
-"""Reads/s scaling-efficiency harness over mesh sizes — FULL pipeline.
+"""Reads/s scaling-efficiency harness over mesh sizes — PRODUCT path.
 
-Runs the complete aligner (device seed->fragment->chain front end with a
-hash-range-sharded index, data-sharded DP phases, host OQC/SAM) over
-meshes of 1/2/4/8 devices and reports reads/s + efficiency vs linear
-scaling.  On real multi-chip slices this measures ICI scaling; on virtual
-CPU devices (one host) the devices share the same physical cores, so
-"efficiency" there bounds sharding overhead, not real speedup — the
-physical-core ceiling is documented in BASELINE.md.
+Runs the composed staged engine (models/staged.StagedAligner: native
+C++ batch host phases + device DP) with the device seed phase on a
+hash-range-sharded index (models/seeder.DeviceSeeder over a
+(data x model) mesh) across meshes of 1/2/4/8 devices and reports
+reads/s + efficiency vs linear scaling.  On real multi-chip slices this
+measures ICI scaling; on virtual CPU devices (one host) the devices
+share the same physical cores, so "efficiency" there bounds sharding
+overhead, not real speedup — the physical-core ceiling is documented in
+BASELINE.md.  The `all_gather_bytes_per_read` field is the MEASURED
+ICI budget input (BASELINE "multi-host scaling budget"), including
+capacity-tier escalation — not the optimistic first-tier number.
 
 Usage:  JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
         XLA_FLAGS=--xla_force_host_platform_device_count=8 \
@@ -17,6 +21,7 @@ import argparse
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -33,10 +38,10 @@ def main():
 
     import jax
     from yaha_tpu.config import AlignmentArgs
-    from yaha_tpu.io import nib2, fasta
-    from yaha_tpu.io.index_io import Index
-    from yaha_tpu.index import build
-    from yaha_tpu.models.aligner import BatchAligner
+    from yaha_tpu.io import nib2, index_io, native_loader
+    from yaha_tpu.models.seeder import DeviceSeeder
+    from yaha_tpu.models.staged import StagedAligner
+    from yaha_tpu.native import host
     from yaha_tpu.parallel import mesh as pmesh
 
     n_avail = len(jax.devices())
@@ -44,11 +49,18 @@ def main():
     bases = np.frombuffer(b"ACGT", np.uint8)
     seq = bases[rng.integers(0, 4, 200_000)]
     fa = b">c1\n" + bytes(seq) + b"\n"
-    genome = nib2.load(nib2.compress_fasta_bytes(fa))
+    nib2_bytes = nib2.compress_fasta_bytes(fa)
     wl = args.word_len
-    so, roa, tm = build.build_index(genome, wl, 1, 65525)
-    index = Index(word_len=wl, max_hits=65525, total_matches=tm,
-                  starting_offs=so, roa=roa)
+    d = tempfile.mkdtemp(prefix="yt_scaling_")
+    gpath = os.path.join(d, "bench.nib2")
+    xpath = os.path.join(d, "bench.X")
+    with open(gpath, "wb") as f:
+        f.write(nib2_bytes)
+    so, roa, tm = host.build_index(nib2.load(nib2_bytes), wl, 1, 65525,
+                                   n_threads=2)
+    index_io.write_index(xpath, wl, 65525, so, roa, tm)
+    genome = native_loader.load_genome(gpath)
+    index = native_loader.load_index(xpath)
 
     comp = bytes.maketrans(b"ACGT", b"TGCA")
     reads = []
@@ -69,45 +81,49 @@ def main():
     aa.xfile_name = "bench.X"
     aa.ofile_name = "out.sam"
     aa.post_process(True)
-    records = list(fasta.read_queries(qdata, aa))
+    aa.max_hits = min(aa.max_hits, index.max_hits)
+    aa.fastq = False
+    pr = host.parse_queries_native(qdata, False, aa.max_query_length,
+                                   aa.word_len)
 
     results = []
     base_rps = None
     sizes = [s for s in (1, 2, 4, 8) if s <= n_avail]
     for nd in sizes:
         model = 2 if nd >= 2 else 1
-        mesh = pmesh.make_mesh(nd, model_parallel=model)
-        aligner = BatchAligner(aa, genome, index, backend="xla",
-                               frontend="device", mesh=mesh,
-                               n_model=model)
-        out = aligner.align_batch(records)   # compile + warm
+        mesh = pmesh.make_mesh(nd, model_parallel=model) if nd > 1 \
+            else None
+        seeder = DeviceSeeder(aa, index, mesh=mesh, n_model=model) \
+            if mesh is not None else DeviceSeeder(aa, index)
+        aligner = StagedAligner(aa, genome, index, backend="xla",
+                                n_threads=2, seeder=seeder)
+        out, _, _ = aligner.align_chunk(pr, 0, pr.n)  # compile + warm
         best = float("inf")
-        host_s = 0.0
         for _ in range(3):
-            if aligner.frontend is not None:
-                aligner.frontend.collective_stats = {
-                    "all_gather_calls": 0, "all_gather_bytes": 0}
+            for k in seeder.stats:
+                seeder.stats[k] = (0 if not isinstance(
+                    seeder.stats[k], float) else 0.0)
             t0 = time.perf_counter()
-            out2 = aligner.align_batch(records)
+            out2, _, _ = aligner.align_chunk(pr, 0, pr.n)
             best = min(best, time.perf_counter() - t0)
         assert out2 == out
-        rps = len(records) / best
+        rps = pr.n / best
         if base_rps is None:
             base_rps = rps
-        cs = (aligner.frontend.collective_stats
-              if aligner.frontend is not None else {})
         # Comm/launch budget (SURVEY DP-1/Comm-1): what one read costs
-        # in collective traffic.  On real ICI (v5e ~186 GB/s per link)
-        # this budget, not the virtual-CPU timings, decides the >=80%
-        # scaling target — see BASELINE.md.
-        ag_bytes = cs.get("all_gather_bytes", 0)
+        # in collective traffic — measured, with tier escalation.  On
+        # real ICI (v5e ~186 GB/s per link) this budget, not the
+        # virtual-CPU timings, decides the >=80% scaling target — see
+        # BASELINE.md.
+        ag_bytes = seeder.stats["all_gather_bytes"]
         results.append({
             "devices": nd, "mesh": {"data": nd // model, "model": model},
+            "engine": "staged+device-seed",
             "reads_per_s": round(rps, 1),
             "efficiency_vs_1dev": round(rps / (base_rps * nd), 3),
-            "all_gather_calls_per_batch": cs.get("all_gather_calls", 0),
-            "all_gather_bytes_per_read": round(ag_bytes /
-                                               max(1, len(records))),
+            "seed_launches_per_batch": seeder.stats["seed_launches"],
+            "capacity_retries": seeder.stats["cap_retries"],
+            "all_gather_bytes_per_read": round(ag_bytes / max(1, pr.n)),
             "ici_s_per_batch_at_100GBps": round(ag_bytes / 100e9, 6)})
     for r in results:
         print(json.dumps(r))

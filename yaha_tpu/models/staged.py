@@ -172,6 +172,11 @@ class StagedAligner:
         self.stats = {"dp_launches": 0, "h2d_bytes": 0, "d2h_bytes": 0,
                       "gap_problems": 0, "ext_problems": 0,
                       "gap_cells": 0, "ext_cells": 0, "device_s": 0.0,
+                      # Gap-kernel dispatch classes (VERDICT r3 #6): how
+                      # many problems the band-relative kernel serves vs
+                      # the slower full-matrix kernel (wband > 512) vs
+                      # the XLA fallback (wband > 512 AND rg > 512).
+                      "gap_banded": 0, "gap_full": 0, "gap_fallback": 0,
                       # Host-phase decomposition (BENCH r4): native stage
                       # walls + Python-side problem marshalling.
                       "begin_s": 0.0, "gap_host_s": 0.0, "phase2_s": 0.0,
@@ -268,6 +273,10 @@ class StagedAligner:
         else:
             self._acc(h2d_bytes=(26 * n))   # coordinates only
         t0 = time.time()
+        if self.backend == "pallas":
+            banded_cls = wband <= 512 and wband < rg + 1
+            self._acc(**{("gap_banded" if banded_cls else "gap_full"
+                          if rg <= 512 else "gap_fallback"): n})
         if self.backend == "pallas" and (wband <= 512 and wband < rg + 1
                                          or rg <= 512):
             from ..ops import sw_pallas
