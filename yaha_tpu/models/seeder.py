@@ -325,7 +325,12 @@ class DeviceSeeder:
                 d = d2[offs2[k]:offs2[k + 1]]
                 q = q2[offs2[k]:offs2[k + 1]]
                 totals[r] = tot2[k]
-                wrapped_row = wrap2[k] if allw[r] else None
+                # Tier-1 wrapped flags UNDER-flag windows whose whole
+                # expansion fell beyond the capacity cutoff (their
+                # segment is empty, and segment_max's empty identity is
+                # INT_MIN, not 0) — always use the exact tier-2 flags
+                # for rows served by tier 2.
+                wrapped_row = wrap2[k]
             else:
                 d = d1[offs1[r]:offs1[r + 1]]
                 q = q1[offs1[r]:offs1[r + 1]]

@@ -106,12 +106,20 @@ def expand_sort_hits_device(hashes, clean, so, roa, *, max_hits, capacity):
     diag = ro - qo.astype(jnp.uint32)          # uint32 wrap (fragDiag)
 
     # Phantom-quirk detection: any kept window whose whole run wraps.
+    # Window w's expansion occupies slots [cum[w]-kept[w], cum[w]), so
+    # any(ok) over the run is a prefix-sum difference — no segment
+    # reduction (jax.ops.segment_max over [8192, C] batches produced
+    # wrong flags on TPU; a cumsum + two gathers is exact and cheaper).
+    # Flags are only consumed when the row did NOT overflow this
+    # capacity tier (the clamp truncates runs past the cutoff).
     ok = jnp.where(valid & (ro >= qo.astype(jnp.uint32)), 1, 0)
-    seg_any = jax.vmap(
-        lambda s, d: jax.ops.segment_max(d, s, num_segments=n,
-                                         indices_are_sorted=True))(win_c,
-                                                                   ok)
-    wrapped = kept_mask & (seg_any == 0)
+    okc = jnp.concatenate(
+        [jnp.zeros((b, 1), ok.dtype), jnp.cumsum(ok, axis=1)], axis=1)
+    w_end = jnp.minimum(cum, capacity)
+    w_start = jnp.minimum(cum - kept, capacity)
+    any_ok = (jnp.take_along_axis(okc, w_end, axis=1) -
+              jnp.take_along_axis(okc, w_start, axis=1))
+    wrapped = kept_mask & (any_ok == 0)
     allwrapped = jnp.any(wrapped, axis=1)
 
     diag_s = jnp.where(valid, diag, jnp.uint32(0xFFFFFFFF))

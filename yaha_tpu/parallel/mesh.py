@@ -152,11 +152,18 @@ def _sharded_expand_sort_jit(mesh: Mesh, per: int, max_hits: int,
         qo = win_c.astype(jnp.int32)
         diag = ro - qo.astype(jnp.uint32)
 
+        # any(ok) per window as a prefix-sum difference over the run's
+        # slot range (segment_max produced wrong flags on TPU at large
+        # batch shapes; see ops/seeds_jax.py).
         ok = jnp.where(valid & (ro >= qo.astype(jnp.uint32)), 1, 0)
-        seg_any = jax.vmap(
-            lambda s, d: jax.ops.segment_max(
-                d, s, num_segments=n, indices_are_sorted=True))(win_c, ok)
-        wrapped = (kept_mask & (seg_any == 0)).astype(jnp.int32)
+        okc = jnp.concatenate(
+            [jnp.zeros((b, 1), ok.dtype), jnp.cumsum(ok, axis=1)],
+            axis=1)
+        w_end = jnp.minimum(cum, capacity)
+        w_start = jnp.minimum(cum - kept, capacity)
+        any_ok = (jnp.take_along_axis(okc, w_end, axis=1) -
+                  jnp.take_along_axis(okc, w_start, axis=1))
+        wrapped = (kept_mask & (any_ok == 0)).astype(jnp.int32)
 
         diag_m = jnp.where(valid, diag, jnp.uint32(0xFFFFFFFF))
         qo_m = jnp.where(valid, qo, jnp.int32(0x7FFFFFFF))
