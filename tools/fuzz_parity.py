@@ -205,10 +205,16 @@ def run_one(seed, keep=False):
             engine = ["--engine", "batch"]
         elif r_eng < 0.78:
             engine = ["--engine", "batch", "-t", "2"]
-        elif r_eng < 0.90:
+        elif r_eng < 0.84:
             # Staged engine (native host phases + jit DP batches) on
             # CPU jax; the compile cache keeps repeat shapes warm.
             engine = ["--engine", "batch-xla"]
+            env["JAX_PLATFORMS"] = "cpu"
+            env["PALLAS_AXON_POOL_IPS"] = ""
+        elif r_eng < 0.90:
+            # Composed path: device seed phase (phantom quirk, capacity
+            # tiers, host-scan fallback) feeding the staged chaining.
+            engine = ["--engine", "batch-xla", "--seed", "device"]
             env["JAX_PLATFORMS"] = "cpu"
             env["PALLAS_AXON_POOL_IPS"] = ""
         else:
