@@ -186,3 +186,38 @@ def test_staged_cli_default_for_jax_engines(scratch):
                           if not l.startswith(b"@PG"))
     assert strip_pg(mine) == strip_pg(gold)
     assert not os.path.exists(os.path.join(scratch, "A_staged.sam.cursor"))
+
+
+def test_staged_qs_stats_match_native(scratch):
+    """-qs through the staged engine: per-query id/len/seedMatches/
+    alignments columns byte-match the native engine's TSV (usec is
+    amortized per chunk in batch mode, so it is excluded)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    for eng, qs in (("batch-xla", "qs_staged.tsv"),
+                    ("native", "qs_native.tsv")):
+        r = subprocess.run(
+            [sys.executable, "-m", "yaha_tpu.cli", "-x",
+             "testgen.X11_01_65525S", "-q", "readsA_100bp.fasta",
+             "--engine", eng, "-qs", qs, "-osh", "out_%s.sam" % eng],
+            cwd=scratch, env=env, capture_output=True, timeout=1200)
+        assert r.returncode == 0, r.stderr.decode()[-1500:]
+
+    def cols(name):
+        with open(os.path.join(scratch, name)) as f:
+            return ["\t".join(line.split("\t")[:4]) for line in f]
+    assert cols("qs_staged.tsv") == cols("qs_native.tsv")
+
+
+def test_staged_prewarm_compiles_and_exits(scratch):
+    """--prewarm runs a compile-only sample pass and writes no output."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    r = subprocess.run(
+        [sys.executable, "-m", "yaha_tpu.cli", "-x",
+         "testgen.X11_01_65525S", "-q", "readsA_100bp.fasta",
+         "--engine", "batch-xla", "--prewarm", "-osh", "prewarm.sam"],
+        cwd=scratch, env=env, capture_output=True, timeout=1200)
+    assert r.returncode == 0, r.stderr.decode()[-1500:]
+    assert b"prewarm:" in r.stderr
+    assert not os.path.exists(os.path.join(scratch, "prewarm.sam"))
