@@ -92,6 +92,14 @@ def main():
         texts = {}
         for mode in args.modes.split(","):
             best = float("inf")
+            # One aligner per mode (ADVICE r4): constructing inside the
+            # iteration loop re-ran DeviceCorpus setup (a full
+            # genome-codes device_put, ~3 GB at hg scale) per iteration.
+            st = None
+            if mode != "native":
+                st = StagedAligner(aa, genome, index,
+                                   backend=mode.split("-", 1)[1],
+                                   n_threads=args.threads)
             for it in range(args.iters):
                 if mode == "native":
                     t0 = time.time()
@@ -101,9 +109,8 @@ def main():
                     dt = time.time() - t0
                     dev = 0.0
                 else:
-                    backend = mode.split("-", 1)[1]
-                    st = StagedAligner(aa, genome, index, backend=backend,
-                                       n_threads=args.threads)
+                    for k in st.stats:
+                        st.stats[k] = type(st.stats[k])(0)
                     t0 = time.time()
                     text, sm, nr = st.align_chunk(pr, 0, pr.n)
                     dt = time.time() - t0

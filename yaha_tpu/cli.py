@@ -549,8 +549,9 @@ def _do_query(aa):
 
         def _align(pr, lo, hi, dist=None, want_stats=False):
             if want_stats:
-                # -qs through the staged engine (usec amortized per
-                # chunk — the batched phases have no per-read wall).
+                # -qs through the staged engine: per-read usec measured
+                # inside the native phases (batched device kernel time
+                # excluded — not per-read attributable).
                 text, sm, nr, stats = aligner.align_chunk(
                     pr, lo, hi, dist=dist, want_stats=True)
                 return text, stats, sm, nr

@@ -71,6 +71,7 @@ class DeviceSeeder:
     def __init__(self, aa, index, mesh=None, n_model=1):
         import jax
         import jax.numpy as jnp
+        import threading
         self.aa = aa
         self.word_len = index.word_len
         self.iview = _IndexView(index)
@@ -80,6 +81,10 @@ class DeviceSeeder:
                       "seed_d2h_bytes": 0, "all_gather_bytes": 0,
                       "phantom_rows": 0, "fallback_rows": 0,
                       "seed_device_s": 0.0, "cap_retries": 0}
+        # seed_chunk may run concurrently under the CLI's depth-2
+        # prefetch pipeline (ADVICE r4): guard stat read-modify-writes
+        # the same way StagedAligner._acc does.
+        self._stats_lock = threading.Lock()
         # Host-side 4-bit code tables (Math.c:141-231) for building the
         # device batch and for phantom recompute.
         from ..utils import codec
@@ -87,13 +92,34 @@ class DeviceSeeder:
         self.comp_tab = np.asarray(codec.FOUR_BIT_COMP_CODES, np.uint8)
         if mesh is not None:
             from ..parallel.mesh import ShardedIndex
-            self.sidx = ShardedIndex(self.iview, n_model).place(mesh)
+            # free_host: once the shards are device-resident the host
+            # copies are dead weight (4.3 GB SO + multi-GB ROA at L15);
+            # phantom recompute reads iview's zero-copy mmap views.
+            self.sidx = ShardedIndex(self.iview, n_model).place(
+                mesh, free_host=True)
             self.data_size = mesh.shape["data"]
         else:
+            # Single-device lookup gathers the ROA with int32 indices
+            # (ops/seeds_jax.py expand_sort_hits_device); genomes past
+            # ~2.1 Gbp need the sharded path, whose per-shard rebasing
+            # keeps local offsets < 2^31 (parallel/mesh.rebase_so).
+            if len(self.iview.roa) >= (1 << 31):
+                raise ValueError(
+                    "index ROA has %d entries >= 2^31; single-device "
+                    "seed lookup cannot address it — use --model-shards"
+                    % len(self.iview.roa))
             self.so_dev = jnp.asarray(self.iview.starting_offs)
             self.roa_dev = jnp.asarray(self.iview.roa)
             self.data_size = 1
+        # Lazy (an int64 copy of the L15 SO array is 8.6 GB — only pay
+        # it if a phantom row ever occurs) but built under _stats_lock
+        # so concurrent seed_chunk calls never race the init (ADVICE r4).
         self._so64 = None
+
+    def _acc(self, **kv):
+        with self._stats_lock:
+            for k, v in kv.items():
+                self.stats[k] += v
 
     # ---- batch build ----
 
@@ -110,7 +136,12 @@ class DeviceSeeder:
         rows = 2 * n
         bpad = _pow2(max(rows, 16))
         if self.data_size > 1:
+            # shard_map needs the batch dim divisible by the data axis;
+            # a pow2 bpad is not a multiple of a non-pow2 axis (e.g. 6
+            # devices / --model-shards 2 -> data=3), so round up to a
+            # multiple (no-op for pow2 axes; ADVICE r4).
             bpad = max(bpad, _pow2(self.data_size))
+            bpad = -(-bpad // self.data_size) * self.data_size
         codes = np.full((bpad, lpad), 4, np.uint8)
         lengths = np.zeros(bpad, np.int32)
         lengths[:rows] = np.repeat(lens, 2)
@@ -138,8 +169,8 @@ class DeviceSeeder:
         import jax.numpy as jnp
         from ..ops import seeds_jax
         aa = self.aa
-        self.stats["seed_launches"] += 1
-        self.stats["seed_h2d_bytes"] += codes.nbytes + lengths.nbytes
+        self._acc(seed_launches=1,
+                  seed_h2d_bytes=codes.nbytes + lengths.nbytes)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel.mesh import sharded_expand_sort
@@ -154,8 +185,8 @@ class DeviceSeeder:
                 self.mesh, hashes, clean, self.sidx,
                 max_hits=int(aa.max_hits), capacity=capacity)
             m = self.mesh.shape["model"]
-            self.stats["all_gather_bytes"] += \
-                2 * 4 * m * codes.shape[0] * capacity
+            self._acc(all_gather_bytes=2 * 4 * m * codes.shape[0]
+                      * capacity)
             return out
         hashes, clean = seeds_jax.batched_seed_hashes(
             jnp.asarray(codes), jnp.asarray(lengths),
@@ -178,7 +209,7 @@ class DeviceSeeder:
         width = int(out["diag"].shape[1])
         totals = np.asarray(out["total"]).astype(np.int64)[:rows]
         take = np.minimum(totals, width)
-        self.stats["seed_d2h_bytes"] += 8 * rows + rows // 8 + 1
+        self._acc(seed_d2h_bytes=8 * rows + rows // 8 + 1)
         n = rows
         order = np.argsort(take, kind="stable")
         t_sorted = take[order]
@@ -202,7 +233,7 @@ class DeviceSeeder:
             cap=width, total_pad=total_pad)
         diag_s = np.asarray(flat_d)[:total].view(np.uint32)
         qo_s = np.asarray(flat_q)[:total]
-        self.stats["seed_d2h_bytes"] += 8 * total
+        self._acc(seed_d2h_bytes=8 * total)
         # Un-sort to row-major layout with one vectorized gather: element
         # j of row r sits at starts[rank(r)] + j in the sorted layout.
         offs = np.zeros(n + 1, np.int64)
@@ -226,8 +257,9 @@ class DeviceSeeder:
         from ..core.frags import phantom_hits
         wl = self.word_len
         offs_w = np.flatnonzero(wrapped_row)
-        if self._so64 is None:
-            self._so64 = self.iview.starting_offs.astype(np.int64)
+        with self._stats_lock:
+            if self._so64 is None:
+                self._so64 = self.iview.starting_offs.astype(np.int64)
         so = self._so64
         c = codes_row[:qlen].astype(np.int64)
         h = np.zeros(len(offs_w), np.int64)
@@ -267,10 +299,11 @@ class DeviceSeeder:
             # Compacted retry: only the overflowed rows re-expand at the
             # big tier (the per-query realloc analog, Query.c:81-100) —
             # the retry batch is the overflow population, not the chunk.
-            self.stats["cap_retries"] += 1
+            self._acc(cap_retries=1)
             bpad2 = _pow2(max(n2, 16))
             if self.data_size > 1:
                 bpad2 = max(bpad2, _pow2(self.data_size))
+                bpad2 = -(-bpad2 // self.data_size) * self.data_size
             codes2 = np.full((bpad2, codes.shape[1]), 4, np.uint8)
             lengths2 = np.zeros(bpad2, np.int32)
             codes2[:n2] = codes[over_rows]
@@ -289,7 +322,7 @@ class DeviceSeeder:
         # (no overflow, no all-wrapped window) is zero-copy.
         exc = np.flatnonzero(overflow | allw)
         if exc.size == 0:
-            self.stats["seed_device_s"] += time.time() - t0
+            self._acc(seed_device_s=time.time() - t0)
             return d1, q1, offs1, tot1
         # One device gather per plane for the wrapped flags of just the
         # flagged rows (phantom recompute needs the window bitmap).
@@ -319,7 +352,7 @@ class DeviceSeeder:
                     # top-tier overflow: host scan for this strand
                     totals[r] = -1
                     offs[r + 1] = pos
-                    self.stats["fallback_rows"] += 1
+                    self._acc(fallback_rows=1)
                     prev = r + 1
                     continue
                 d = d2[offs2[k]:offs2[k + 1]]
@@ -337,7 +370,7 @@ class DeviceSeeder:
                 wrapped_row = wrap1[wrap1_pos[r]]
             if wrapped_row is not None and wrapped_row.any():
                 # some window's run is all-wrapped: inject phantoms
-                self.stats["phantom_rows"] += 1
+                self._acc(phantom_rows=1)
                 d, q = self._inject_row(codes[r], int(lengths[r]),
                                         wrapped_row, d, q)
             parts_d.append(d)
@@ -356,5 +389,5 @@ class DeviceSeeder:
               else np.zeros(0, np.int32))
         diag = np.ascontiguousarray(diag, dtype=np.uint32)
         qo = np.ascontiguousarray(qo, dtype=np.int32)
-        self.stats["seed_device_s"] += time.time() - t0
+        self._acc(seed_device_s=time.time() - t0)
         return diag, qo, offs, totals

@@ -84,7 +84,7 @@ def _sig(lib):
         ct.c_void_p, ct.POINTER(ct.c_void_p), _i64p, _i64p, _i64p,
         _i64p]
     lib.yt_batch_query_stats.argtypes = [ct.c_void_p, _i64p, _i64p,
-                                         _i64p]
+                                         _i64p, _i64p]
     lib.yt_batch_free.argtypes = [ct.c_void_p]
     lib._staged_sig_done = True
 
@@ -680,8 +680,8 @@ class StagedAligner:
         per-batch STATS distributions (same fields as
         host.align_batch_native).  `want_stats` appends a fourth
         return: the QUERYSTATS TSV rows (-qs; Query.c:480-491), with
-        usec amortized across the chunk — the batched phases have no
-        per-read wall."""
+        per-read usec measured inside the native phases (batched
+        device kernel time excluded — not per-read attributable)."""
         lib = self.lib
         aa = self.aa
         genome = self.genome
@@ -700,6 +700,10 @@ class StagedAligner:
             # (read, strand) row; rows that overflowed the top capacity
             # tier carry total -1 and take the host scan inside phase 1.
             seeds = self.seeder.seed_chunk(pr, lo, hi, self)
+            # The seed wall is already accounted in seeder.stats
+            # ['seed_device_s']; exclude it from begin_s so the host
+            # decomposition doesn't double-count it (ADVICE r4).
+            t_begin = _t0mod.time()
         rows2 = None
         if self.corpus is not None:
             # Dispatch the chunk-codes upload BEFORE the native phase-1
@@ -761,22 +765,28 @@ class StagedAligner:
             finally:
                 lib.yt_free(out_text)
             if want_stats:
+                # Per-read usec measured inside the native phases
+                # (phase1/2/3 + per-problem DP inline/decode time,
+                # yt_batch_query_stats).  Batched device kernel time is
+                # not per-read attributable and is excluded — on the
+                # staged native backend (DP inline) the column carries
+                # the per-read engine's semantics (VERDICT r4 #7).
                 n = hi - lo
                 ql = np.empty(n, np.int64)
                 sd = np.empty(n, np.int64)
                 al = np.empty(n, np.int64)
+                us = np.empty(n, np.int64)
                 lib.yt_batch_query_stats(ctx, _p64(ql), _p64(sd),
-                                         _p64(al))
+                                         _p64(al), _p64(us))
                 id_offs = np.ctypeslib.as_array(pr.id_offs,
                                                 shape=(pr.n + 1,))
                 blob = np.ctypeslib.as_array(
                     pr.ids, shape=(max(int(id_offs[pr.n]), 1),)).tobytes()
-                usec = int((_t.time() - t_chunk0) * 1e6 / max(n, 1))
                 rows = []
                 for i in range(n):
                     a, b = int(id_offs[lo + i]), int(id_offs[lo + i + 1])
                     rows.append(b"%s\t%d\t%d\t%d\t%d\n" % (
-                        blob[a:b], ql[i], sd[i], al[i], usec))
+                        blob[a:b], ql[i], sd[i], al[i], us[i]))
                 return (text, int(sm.value), int(nr.value),
                         b"".join(rows))
             return text, int(sm.value), int(nr.value)

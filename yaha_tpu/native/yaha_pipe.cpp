@@ -2336,6 +2336,11 @@ struct ReadSlot {
     std::vector<uint8_t> arena;      // materialized q/r problem slices
     int64_t seed_matches = 0;
     int64_t fwd_count = 0, rev_count = 0;   // per-strand STATS counts
+    // Per-read host-pipeline microseconds for -qs (Query.c:480-491):
+    // phase1/2/3 run one read per worker call (single writer), DP
+    // apply/inline time is attributed per problem after each
+    // staged_run (see the dts accounting in the apply functions).
+    int64_t usec = 0;
 };
 
 struct BatchCtx {
@@ -3241,8 +3246,11 @@ void* yt_batch_begin(
     c->hit_offs = hit_offs;
     c->hit_totals = hit_totals;
     c->slots.resize((size_t)n_reads);
-    staged_run(*c, n_reads,
-               [c](int64_t i) { staged_phase1(*c, i); });
+    staged_run(*c, n_reads, [c](int64_t i) {
+        double ts = now_s();
+        staged_phase1(*c, i);
+        c->slots[(size_t)i].usec += (int64_t)((now_s() - ts) * 1e6);
+    });
     for (ReadSlot& slot : c->slots)
         for (StagedProb& p : slot.gaps) c->gap_ptr.push_back(&p);
     return c;
@@ -3310,19 +3318,27 @@ int yt_batch_gap_apply(void* h, int64_t format, int64_t n,
     BatchCtx& c = *(BatchCtx*)h;
     if (format == FMT_NATIVE) {
         int64_t total = (int64_t)c.gap_ptr.size();
-        staged_run(c, total, [&c](int64_t k) {
+        std::vector<int64_t> dts((size_t)total);
+        staged_run(c, total, [&](int64_t k) {
             static thread_local State scratch;
             scratch.aa = &c.aa;
+            double ts = now_s();
             StagedProb& p = *c.gap_ptr[(size_t)k];
             SFrag& sf = p.clump->sfrags[(size_t)p.sfrag_idx];
             const uint8_t* arena = c.slots[(size_t)p.read].arena.data();
             sf.score = anchored_dp(scratch, arena + p.q_off, p.qlen,
                                    arena + p.r_off, p.rlen, p.lbw, p.rbw,
                                    sf.eol);
+            dts[(size_t)k] = (int64_t)((now_s() - ts) * 1e6);
         });
+        for (int64_t k = 0; k < total; k++)
+            c.slots[(size_t)c.gap_ptr[(size_t)k]->read].usec +=
+                dts[(size_t)k];
         return 0;
     }
+    std::vector<int64_t> dts((size_t)n);
     staged_run(c, n, [&](int64_t k) {
+        double ts = now_s();
         StagedProb& p = *c.gap_ptr[(size_t)idx[k]];
         SFrag& sf = p.clump->sfrags[(size_t)p.sfrag_idx];
         if (format == FMT_EOIDC)
@@ -3341,14 +3357,22 @@ int yt_batch_gap_apply(void* h, int64_t format, int64_t n,
                                    row_stride, p.qlen, p.rlen, p.lbw,
                                    sf.eol);
         sf.score = score[k];
+        dts[(size_t)k] = (int64_t)((now_s() - ts) * 1e6);
     });
+    for (int64_t k = 0; k < n; k++)
+        c.slots[(size_t)c.gap_ptr[(size_t)idx[k]]->read].usec +=
+            dts[(size_t)k];
     return 0;
 }
 
 void yt_batch_phase2(void* h) {
     using namespace yp;
     BatchCtx& c = *(BatchCtx*)h;
-    staged_run(c, c.n_reads, [&c](int64_t i) { staged_phase2(c, i); });
+    staged_run(c, c.n_reads, [&c](int64_t i) {
+        double ts = now_s();
+        staged_phase2(c, i);
+        c.slots[(size_t)i].usec += (int64_t)((now_s() - ts) * 1e6);
+    });
     for (ReadSlot& slot : c.slots)
         for (StagedProb& p : slot.exts) c.ext_ptr.push_back(&p);
 }
@@ -3415,15 +3439,21 @@ int yt_batch_ext_apply(void* h, int64_t format, int64_t n,
         int64_t total = (int64_t)c.ext_ptr.size();
         std::vector<EOL> items((size_t)total);
         std::vector<int64_t> sc(total), aq(total), ar(total);
+        std::vector<int64_t> dts((size_t)total);
         staged_run(c, total, [&](int64_t k) {
             static thread_local State scratch;
             scratch.aa = &c.aa;
+            double ts = now_s();
             StagedProb& p = *c.ext_ptr[(size_t)k];
             const uint8_t* arena = c.slots[(size_t)p.read].arena.data();
             sc[k] = ext_dp(scratch, arena + p.q_off, p.qlen,
                            arena + p.r_off, p.rlen, p.reverse != 0,
                            items[(size_t)k], &aq[k], &ar[k]);
+            dts[(size_t)k] = (int64_t)((now_s() - ts) * 1e6);
         });
+        for (int64_t k = 0; k < total; k++)
+            c.slots[(size_t)c.ext_ptr[(size_t)k]->read].usec +=
+                dts[(size_t)k];
         for (int64_t k = 0; k < total; k++) {
             if (sc[k] <= 0) continue;
             StagedProb& p = *c.ext_ptr[(size_t)k];
@@ -3442,8 +3472,10 @@ int yt_batch_ext_apply(void* h, int64_t format, int64_t n,
         return 0;
     }
     std::vector<EOL> items((size_t)n);
+    std::vector<int64_t> dts((size_t)n);
     staged_run(c, n, [&](int64_t k) {
         if (score[k] <= 0) return;
+        double ts = now_s();
         if (format == FMT_EOIDC)
             decode_ext_eoidc((const int8_t*)plane + k * plane_stride,
                              idc + k * plane_stride, row_stride,
@@ -3461,7 +3493,11 @@ int yt_batch_ext_apply(void* h, int64_t format, int64_t n,
                               row_stride, maxi[k], maxj[k],
                               c.ext_ptr[(size_t)idx[k]]->reverse != 0,
                               items[(size_t)k]);
+        dts[(size_t)k] = (int64_t)((now_s() - ts) * 1e6);
     });
+    for (int64_t k = 0; k < n; k++)
+        c.slots[(size_t)c.ext_ptr[(size_t)idx[k]]->read].usec +=
+            dts[(size_t)k];
     for (int64_t k = 0; k < n; k++) {
         if (score[k] <= 0) continue;
         StagedProb& p = *c.ext_ptr[(size_t)idx[k]];
@@ -3487,7 +3523,11 @@ int yt_batch_finish(void* h, char** out_text, int64_t* out_len,
                     int64_t* dist_out) {
     using namespace yp;
     BatchCtx& c = *(BatchCtx*)h;
-    staged_run(c, c.n_reads, [&c](int64_t i) { staged_phase3(c, i); });
+    staged_run(c, c.n_reads, [&c](int64_t i) {
+        double ts = now_s();
+        staged_phase3(c, i);
+        c.slots[(size_t)i].usec += (int64_t)((now_s() - ts) * 1e6);
+    });
     size_t total = 0;
     int64_t seed_sum = 0, rec_sum = 0;
     RunStats m;
@@ -3538,18 +3578,22 @@ int yt_batch_finish(void* h, char** out_text, int64_t* out_len,
 }
 
 // Per-read QUERYSTATS fields (Query.c:480-491 analog) for the staged
-// engine's -qs: query length, seed matches, alignments printed.  Call
-// after yt_batch_finish (alignment counts are final) and before
-// yt_batch_free; the caller owns the id strings (ParsedReads) and the
-// timing (batched phases amortize wall across the chunk).
+// engine's -qs: query length, seed matches, alignments printed, and
+// per-read host-pipeline microseconds (phase1/2/3 plus each DP
+// problem's inline/decode time attributed to its read).  Batched
+// DEVICE kernel time and transfers are not per-read attributable and
+// are excluded; on the staged native backend (DP inline) the usec
+// column therefore carries the per-read engine's semantics.  Call
+// after yt_batch_finish and before yt_batch_free.
 void yt_batch_query_stats(void* h, int64_t* qlen, int64_t* seeds,
-                          int64_t* aligns) {
+                          int64_t* aligns, int64_t* usec) {
     yp::BatchCtx& c = *(yp::BatchCtx*)h;
     for (int64_t i = 0; i < c.n_reads; i++) {
         yp::ReadSlot& slot = c.slots[(size_t)i];
         qlen[i] = slot.st.q_len;
         seeds[i] = slot.seed_matches;
         aligns[i] = (int64_t)slot.st.clumps.size();
+        if (usec) usec[i] = slot.usec;
     }
 }
 

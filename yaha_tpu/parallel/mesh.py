@@ -37,6 +37,40 @@ def make_mesh(n_devices: int | None = None, model_parallel: int = 1):
                 ("data", "model"))
 
 
+def rebase_so(so, n_model: int):
+    """Hash-range rebasing of the global SO array into n_model shards.
+
+    Shard m owns hash range [m*per, (m+1)*per); its SO rows are rebased
+    to LOCAL ROA offsets (so_local[m, i] = so[m*per + i] - so[m*per]).
+    Global SO offsets are uint32 cumulative match counts (Index.c:186-194)
+    and legitimately exceed 2^31 for genomes past ~2.1 Gbp (design
+    ceiling < 4 Gbp, guide section 8.3), so the subtraction must be done
+    in uint32 (exact: SO is nondecreasing, so so[h] - base never
+    underflows within a shard).  Returns (so_local [M, per+1] uint32,
+    bases int64 [M], lens int64 [M]); every local offset is < lens[m],
+    and lens[m] < 2^31 is asserted because the device lookup gathers the
+    local ROA with int32 indices (parallel/mesh.py kernel,
+    ops/seeds_jax.py expand_sort_hits_device).
+    """
+    so = np.asarray(so, np.uint32)
+    ht = len(so) - 1
+    assert ht % n_model == 0, (ht, n_model)
+    per = ht // n_model
+    bounds = so[::per].astype(np.int64)        # [M+1] global shard bases
+    bases = bounds[:-1]
+    lens = bounds[1:] - bounds[:-1]
+    assert (lens < (1 << 31)).all(), (
+        "a model shard's ROA slice has %d entries >= 2^31; raise "
+        "--model-shards so int32 device gathers stay in range"
+        % int(lens.max()))
+    # Vectorized rebase: view the first ht entries as [M, per], subtract
+    # the per-shard base, and append each shard's end offset.
+    body = so[:ht].reshape(n_model, per) - bases.astype(np.uint32)[:, None]
+    so_local = np.concatenate(
+        [body, (bounds[1:] - bases).astype(np.uint32)[:, None]], axis=1)
+    return so_local, bases, lens
+
+
 class ShardedIndex:
     """Hash-range sharded SO + ROA resident across the `model` axis.
 
@@ -47,48 +81,50 @@ class ShardedIndex:
     lookup resolves on the owning shard and candidates are merged across
     `model` with an all_gather (the all-to-all candidate exchange of the
     survey's index-placement design).  A side effect of sharding: local
-    ROA offsets stay < 2^31 even for a ~3 Gbp genome, so int32 device
-    gathers are safe where a replicated index would overflow.
+    ROA offsets stay < 2^31 even for a ~3 Gbp genome (asserted in
+    rebase_so), so int32 device gathers are safe where a replicated
+    index would overflow.
     """
 
     def __init__(self, index, n_model: int):
         so = np.asarray(index.starting_offs, np.uint32)
-        roa = np.asarray(index.roa, np.uint32)
-        ht = len(so) - 1
-        assert ht % n_model == 0, (ht, n_model)
-        per = ht // n_model
-        so_local = np.zeros((n_model, per + 1), np.uint32)
-        roa_lens = []
-        roa_slices = []
-        for m in range(n_model):
-            lo, hi = m * per, (m + 1) * per
-            base = int(so[lo])
-            so_local[m] = so[lo:hi + 1] - np.uint32(base)
-            sl = roa[base:int(so[hi])]
-            roa_slices.append(sl)
-            roa_lens.append(len(sl))
-        rmax = max(max(roa_lens), 1)
+        # Keep the caller's roa object un-materialized (it may be an
+        # mmap/memmap of a multi-GB on-disk index); only per-shard
+        # slices are copied, into roa_sh.
+        roa = index.roa
+        so_local, bases, lens = rebase_so(so, n_model)
+        per = so_local.shape[1] - 1
+        rmax = max(int(lens.max()), 1)
         roa_sh = np.zeros((n_model, rmax), np.uint32)
-        for m, sl in enumerate(roa_slices):
-            roa_sh[m, :len(sl)] = sl
+        for m in range(n_model):
+            roa_sh[m, :int(lens[m])] = \
+                roa[int(bases[m]):int(bases[m] + lens[m])]
         self.n_model = n_model
         self.per = per
         self.word_len = index.word_len
         self.max_hits = index.max_hits
         self.so_local = so_local          # [M, per+1] local offsets
         self.roa_sh = roa_sh              # [M, rmax]
+        self.roa_lens = lens
+        self.so_nbytes = int(so_local.nbytes)
+        self.roa_nbytes = int(roa_sh.nbytes)
         self.hash_lo = (np.arange(n_model, dtype=np.int32) *
                         np.int32(per))
 
-    def place(self, mesh: Mesh):
+    def place(self, mesh: Mesh, free_host: bool = False):
         """Upload shards with one row per `model` index (replicated over
-        `data`)."""
+        `data`).  free_host=True drops the host-side shard copies after
+        the upload (an L15 index is 4.3 GB SO + multi-GB ROA; keeping
+        both host and device copies doubles peak RSS)."""
         from jax.sharding import NamedSharding
         sh = NamedSharding(mesh, P("model", None))
         sh1 = NamedSharding(mesh, P("model"))
         self.so_dev = jax.device_put(jnp.asarray(self.so_local), sh)
         self.roa_dev = jax.device_put(jnp.asarray(self.roa_sh), sh)
         self.lo_dev = jax.device_put(jnp.asarray(self.hash_lo), sh1)
+        if free_host:
+            self.so_local = None
+            self.roa_sh = None
         return self
 
 
