@@ -539,10 +539,15 @@ def _do_query(aa):
             for chunk, fastq in _iter_query_chunks(aa.qfile_name):
                 pr = _nh.parse_queries_native(
                     chunk, fastq, aa.max_query_length, aa.word_len)
+                # A full production-size batch: smaller samples miss the
+                # top bucket tiers (batch tiers are pow2 ladders up to
+                # batch_size), leaving the first production run to
+                # compile them anyway (VERDICT r4 #4 payoff measurement).
+                n = min(pr.n, aa.batch_size)
                 t0 = _time.time()
-                aligner.align_chunk(pr, 0, min(pr.n, 1024))
+                aligner.align_chunk(pr, 0, n)
                 print("prewarm: %d reads, %.1f s; kernel tiers cached."
-                      % (min(pr.n, 1024), _time.time() - t0),
+                      % (n, _time.time() - t0),
                       file=sys.stderr)
                 break
             return
