@@ -433,14 +433,18 @@ def main():
         for key, call in (
                 ("e2e_tpu_staged_100bp", "bench.bench_e2e_staged_tpu()"),
                 ("e2e_tpu_staged_1kb",
-                 "bench.bench_e2e_staged_tpu(4000, 1000, 0.05)")):
+                 "bench.bench_e2e_staged_tpu(4000, 1000, 0.05)"),
+                # The reference's marquee long-read case (VERDICT r4 #8):
+                # CP-analog staged decomposition at 10 kb.
+                ("e2e_tpu_staged_10kb",
+                 "bench.bench_e2e_staged_tpu(600, 10000, 0.05)")):
             try:
                 r = subprocess.run(
                     [sys.executable, "-c",
                      "import sys; sys.path.insert(0, %r); import bench, "
                      "json; print('STAGED|' + json.dumps(%s))"
                      % (REPO, call)],
-                    capture_output=True, timeout=1500, text=True,
+                    capture_output=True, timeout=2400, text=True,
                     env=dict(os.environ, PYTHONPATH=REPO + os.pathsep +
                              os.environ.get("PYTHONPATH", "")))
                 for line in r.stdout.splitlines():

@@ -1,4 +1,4 @@
-"""Batch-engine CLI: parity, checkpoint cursor, and resume."""
+"""Engine CLI: parity, checkpoint cursor, and resume (native + staged)."""
 import gzip
 import os
 import shutil
@@ -31,9 +31,9 @@ def _run(scratch, *args):
         cwd=scratch, env=env, capture_output=True, timeout=1200)
 
 
-def test_batch_engine_parity(scratch):
+def test_native_engine_parity_and_no_cursor(scratch):
     r = _run(scratch, "-x", "testgen.X11_01_65525S", "-q",
-             "readsA_100bp.fasta", "--engine", "batch", "-osh",
+             "readsA_100bp.fasta", "--engine", "native", "-osh",
              "A_default.sam")
     assert r.returncode == 0, r.stderr.decode()[-1500:]
     with open(os.path.join(scratch, "A_default.sam"), "rb") as f:
@@ -44,22 +44,37 @@ def test_batch_engine_parity(scratch):
                                            "A_default.sam.cursor"))
 
 
-def test_batch_engine_resume(scratch):
+def test_removed_engines_rejected(scratch):
+    """--engine batch / batch-numpy were removed (VERDICT r4 #6); the
+    CLI must reject them with a pointer to the surviving engines."""
+    for eng in ("batch", "batch-numpy"):
+        r = _run(scratch, "-x", "testgen.X11_01_65525S", "-q",
+                 "readsA_100bp.fasta", "--engine", eng, "-osh", "x.sam")
+        assert r.returncode != 0
+        assert b"removed" in r.stderr
+    r = _run(scratch, "-x", "testgen.X11_01_65525S", "-q",
+             "readsA_100bp.fasta", "--engine", "batch-xla",
+             "--frontend", "device", "-osh", "x.sam")
+    assert r.returncode != 0
+    assert b"removed" in r.stderr
+
+
+def test_engine_resume(scratch):
     # Full reference output first.
     r = _run(scratch, "-x", "testgen.X11_01_65525S", "-q",
-             "readsA_100bp.fasta", "--engine", "batch", "-osh", "full.sam")
+             "readsA_100bp.fasta", "--engine", "native", "-osh",
+             "full.sam")
     assert r.returncode == 0
 
-    # Simulate preemption: emit only the first 120 reads (3 batches of 40)
-    # by driving the engine in-process, then resume via the CLI.
-    import gzip as _gzip
+    # Simulate preemption: emit only the first 120 reads in-process
+    # (header + partial output + cursor), then resume via the CLI.
     sys.path.insert(0, REPO)
     from yaha_tpu.config import AlignmentArgs
-    from yaha_tpu.io import nib2, index_io, fasta, sam
-    from yaha_tpu.models.aligner import BatchAligner
-    with open(os.path.join(scratch, "testgen.nib2"), "rb") as f:
-        genome = nib2.load(f.read())
-    index = index_io.load_index(
+    from yaha_tpu.io import native_loader, sam
+    from yaha_tpu.native import host
+    genome = native_loader.load_genome(
+        os.path.join(scratch, "testgen.nib2"))
+    index = native_loader.load_index(
         os.path.join(scratch, "testgen.X11_01_65525S"))
     aa = AlignmentArgs()
     aa.qfile_name = "readsA_100bp.fasta"
@@ -67,19 +82,21 @@ def test_batch_engine_resume(scratch):
     aa.ofile_name = "part.sam"
     aa.post_process(True)
     aa.word_len = index.word_len
+    aa.fastq = False
     with open(os.path.join(scratch, "readsA_100bp.fasta"), "rb") as f:
         qdata = f.read()
-    aa.fastq = False
-    recs = list(fasta.read_queries(qdata, aa))
-    aligner = BatchAligner(aa, genome, index, backend="numpy")
-    with open(os.path.join(scratch, "part.sam"), "w") as out:
-        out.write(sam.file_header(aa, genome))
-        out.write("".join(aligner.align_batch(recs[:120])))
+    pr = host.parse_queries_native(qdata, False, aa.max_query_length,
+                                   aa.word_len)
+    text, _, _, _ = host.align_batch_native(pr, 0, 120, genome, index,
+                                            aa, n_threads=1)
+    with open(os.path.join(scratch, "part.sam"), "wb") as out:
+        out.write(sam.file_header(aa, genome).encode("latin-1"))
+        out.write(text)
     with open(os.path.join(scratch, "part.sam.cursor"), "w") as f:
         f.write("120")
 
     r = _run(scratch, "-x", "testgen.X11_01_65525S", "-q",
-             "readsA_100bp.fasta", "--engine", "batch", "--batch-size",
+             "readsA_100bp.fasta", "--engine", "native", "--batch-size",
              "40", "--resume", "-osh", "part.sam")
     assert r.returncode == 0, r.stderr.decode()[-1500:]
     assert b"Resuming at read 120" in r.stderr
@@ -185,7 +202,7 @@ XLA_SWEEP = [
 @pytest.mark.parametrize("out_name,reads,args", XLA_SWEEP,
                          ids=["xla-" + c[0] for c in XLA_SWEEP])
 def test_batch_xla_engine_parity_sweep(scratch, out_name, reads, args):
-    """The device front end + XLA DP twins across modes that exercise
+    """The staged engine's XLA DP twins across modes that exercise
     distinct post-DP policies (FBS, ALL-mode dups, edit-distance, FASTQ
     quals, SV splits, custom band/scoring); byte parity modulo @PG."""
     shutil.copy(os.path.join(DATA, reads), scratch)

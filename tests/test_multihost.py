@@ -28,8 +28,9 @@ jax.distributed.initialize("127.0.0.1:" + port, num_processes=2,
                            process_id=pid)
 sys.path.insert(0, "__REPO__")
 from yaha_tpu.config import AlignmentArgs
-from yaha_tpu.io import nib2, index_io, fasta, sam
-from yaha_tpu.models.aligner import BatchAligner
+from yaha_tpu.io import native_loader, sam
+from yaha_tpu.native import host
+from yaha_tpu.models.staged import StagedAligner
 from yaha_tpu.parallel import distributed as dist
 
 aa = AlignmentArgs()
@@ -37,19 +38,19 @@ aa.qfile_name = "readsA_100bp.fasta"
 aa.xfile_name = "testgen.X11_01_65525S"
 aa.ofile_name = "A_default.sam"
 aa.post_process(True)
-with open("testgen.nib2", "rb") as f:
-    genome = nib2.load(f.read())
-index = index_io.load_index("testgen.X11_01_65525S")
+genome = native_loader.load_genome("testgen.nib2")
+index = native_loader.load_index("testgen.X11_01_65525S")
 aa.word_len = index.word_len
 with open("readsA_100bp.fasta", "rb") as f:
     qdata = f.read()
 aa.fastq = False
-records = list(fasta.read_queries(qdata, aa))
-lo, hi = dist.host_read_range(len(records))
-aligner = BatchAligner(aa, genome, index)
-outs = aligner.align_batch(records[lo:hi])
-with open(dist.part_file_name("out.sam"), "w") as f:
-    f.write("".join(outs))
+pr = host.parse_queries_native(qdata, False, aa.max_query_length,
+                               aa.word_len)
+lo, hi = dist.host_read_range(pr.n)
+aligner = StagedAligner(aa, genome, index, backend="xla")
+text, _, _ = aligner.align_chunk(pr, lo, hi)
+with open(dist.part_file_name("out.sam"), "wb") as f:
+    f.write(text)
 # Barrier via a collective before host 0 merges.
 import numpy as np
 import jax.numpy as jnp
@@ -107,9 +108,10 @@ def test_two_process_distributed(tmp_path):
 
 
 def test_multihost_cli_flags(tmp_path):
-    """--coordinator/--num-hosts/--host-id: two CLI processes shard reads,
-    write part files, and host 0 merges byte-identically (modulo the @PG
-    file name) to the single-host golden."""
+    """--coordinator/--num-hosts/--host-id through the staged engine:
+    two CLI processes shard reads, write part files, and host 0 merges
+    byte-identically (modulo the @PG file name) to the single-host
+    golden."""
     import gzip
     for f in ("readsA_100bp.fasta",):
         shutil.copy(os.path.join(DATA, f), tmp_path)
@@ -127,7 +129,8 @@ def test_multihost_cli_flags(tmp_path):
     procs = [subprocess.Popen(
         [sys.executable, "-m", "yaha_tpu.cli", "-x",
          "testgen.X11_01_65525S", "-q", "readsA_100bp.fasta",
-         "--engine", "batch", "--coordinator", "127.0.0.1:%d" % port,
+         "--engine", "batch-xla", "--coordinator",
+         "127.0.0.1:%d" % port,
          "--num-hosts", "2", "--host-id", str(pid), "-osh", "out.sam"],
         cwd=tmp_path, env=env, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT) for pid in range(2)]

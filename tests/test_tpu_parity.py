@@ -1,8 +1,8 @@
 """On-TPU parity for the jax engines (skipped when no TPU is attached).
 
 VERDICT item: pin the flagship path in CI — --engine batch-pallas runs
-the device front end (seed->fragment->chain) AND the Pallas DP kernels on
-the real chip and must hit the byte-exact golden.
+the staged engine's Pallas DP kernels (and, with --seed device, the
+device seed phase) on the real chip and must hit the byte-exact golden.
 """
 import gzip
 import os
@@ -65,11 +65,12 @@ def test_batch_pallas_on_tpu_parity(tmp_path):
     assert mine == gold
 
 
-def test_device_frontend_on_tpu_parity(tmp_path):
-    """--frontend device pins the device front end (seed->fragment->
-    chain on the chip); byte parity with the golden (VERDICT r3: the
-    staged engine is now the batch-pallas default, so the device
-    front end needs its own on-TPU pin)."""
+def test_seed_device_on_tpu_parity(tmp_path):
+    """--seed device pins the device seed phase (k-mer scan + SO/ROA
+    lookup + hit sort on the chip, models/seeder.DeviceSeeder) composed
+    with the staged engine; byte parity with the golden on the edge-case
+    read set (round 5: the DeviceSeeder replaced the retired device
+    front end as the on-chip seed path)."""
     if not _have_tpu():
         pytest.skip("no TPU attached")
     shutil.copy(os.path.join(DATA, "readsF_edge.fasta"), tmp_path)
@@ -81,7 +82,7 @@ def test_device_frontend_on_tpu_parity(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "yaha_tpu.cli", "-x",
          "testgen.X11_01_65525S", "-q", "readsF_edge.fasta",
-         "--engine", "batch-pallas", "--frontend", "device",
+         "--engine", "batch-pallas", "--seed", "device",
          "-osh", "F_edge.sam"],
         cwd=tmp_path, env=_tpu_env(), capture_output=True, timeout=2400)
     assert r.returncode == 0, r.stderr.decode()[-2000:]

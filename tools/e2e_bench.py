@@ -67,7 +67,7 @@ def main():
     ap.add_argument("--len", dest="read_len", type=int, default=100)
     ap.add_argument("--err", type=float, default=0.02)
     ap.add_argument("--threads", default="1,8")
-    ap.add_argument("--engine", default="batch")
+    ap.add_argument("--engine", default="native")
     ap.add_argument("--ref", default="/root/yaha_ref_build/bin/yaha")
     ap.add_argument("--iters", type=int, default=1,
                     help="best-of-N wall clock (the shared VM swings "
@@ -88,7 +88,7 @@ def main():
         out_my = os.path.join(d, "mine_t%d.sam" % t)
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-        if args.engine in ("native", "oracle", "batch", "batch-numpy"):
+        if args.engine in ("native", "oracle"):
             # Host-only engines are jax-free by design; drop the axon TPU
             # plugin's sitecustomize (~2s of jax imports at startup) from
             # the measurement, exactly as a production deployment of the

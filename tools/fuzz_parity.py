@@ -197,14 +197,12 @@ def run_one(seed, keep=False):
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO
         r_eng = rng.random()
-        if r_eng < 0.40:
+        if r_eng < 0.55:
             engine = ["--engine", "native"]
-        elif r_eng < 0.5:
-            engine = ["--engine", "native", "-t", "2"]
         elif r_eng < 0.70:
-            engine = ["--engine", "batch"]
+            engine = ["--engine", "native", "-t", "2"]
         elif r_eng < 0.78:
-            engine = ["--engine", "batch", "-t", "2"]
+            engine = ["--engine", "native", "--batch-size", "64"]
         elif r_eng < 0.84:
             # Staged engine (native host phases + jit DP batches) on
             # CPU jax; the compile cache keeps repeat shapes warm.

@@ -92,12 +92,14 @@ def main():
         # cache — should match `after` (both are loads-only).
         warm_ctrl = run_cli(d, c1, base + ["-osh", "ctrl.sam"])
 
-        with open(os.path.join(d, "cold.sam"), "rb") as f:
-            t_cold = f.read()
-        with open(os.path.join(d, "after.sam"), "rb") as f:
-            t_after = f.read()
-        with open(os.path.join(d, "ctrl.sam"), "rb") as f:
-            t_ctrl = f.read()
+        def recs(name):
+            # @PG embeds the output file name; compare modulo it.
+            with open(os.path.join(d, name), "rb") as f:
+                return [l for l in f.read().splitlines()
+                        if not l.startswith(b"@PG")]
+        t_cold = recs("cold.sam")
+        t_after = recs("after.sam")
+        t_ctrl = recs("ctrl.sam")
         assert not os.path.exists(os.path.join(d, "pw.sam"))
 
         print(json.dumps({

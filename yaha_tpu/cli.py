@@ -35,9 +35,11 @@ Alignment options (reference-compatible):
   -v        verbose run summary       -qs F   per-query stats TSV
 
 yaha_tpu extensions:
-  --engine oracle|native|batch|batch-numpy|batch-xla|batch-pallas
-  --frontend native|device|host  host phases for the jax engines
-                          (native = staged C++ pipeline, the default)
+  --engine oracle|native|batch-xla|batch-pallas
+                          oracle: reference-exact Python path;
+                          native: per-read C++ pipeline (default);
+                          batch-xla / batch-pallas: staged engine —
+                          native batch host phases + device DP
   --seed host|device      seed-lookup phase placement for the staged
                           jax engines (device = k-mer scan + index
                           lookup + hit sort on the accelerator)
@@ -231,13 +233,22 @@ def main(argv=None):
             aa.min_raw_score = _parse_int(argv[i], "-R")
         # yaha_tpu extensions (not in the reference CLI).
         elif a == "--engine":
-            # oracle: per-read reference-exact path (default).
-            # batch:  phased batched-DP pipeline (native/numpy backend).
-            # batch-numpy / batch-xla / batch-pallas: explicit backends.
+            # oracle: per-read reference-exact Python path.
+            # native: per-read C++ pipeline (the host product engine).
+            # batch-xla / batch-pallas: the staged engine (native batch
+            # host phases + device DP batches).
             i += 1
             aa.engine = argv[i]
-            valid = ("oracle", "native", "batch", "batch-numpy",
-                     "batch-xla", "batch-pallas")
+            valid = ("oracle", "native", "batch-xla", "batch-pallas")
+            if aa.engine in ("batch", "batch-numpy"):
+                # Removed round 5 (VERDICT r4 #6): the BatchAligner
+                # engines duplicated the staged engine's role as the
+                # device path and the native engine's as the host path.
+                print("--engine %s was removed; use native (host C++ "
+                      "product engine) or batch-xla / batch-pallas "
+                      "(staged device engines)." % aa.engine,
+                      file=sys.stderr)
+                sys.exit(1)
             if aa.engine not in valid:
                 print("--engine must be one of: %s" % ", ".join(valid),
                       file=sys.stderr)
@@ -246,21 +257,14 @@ def main(argv=None):
             i += 1
             aa.batch_size = _parse_int(argv[i], "--batch-size")
         elif a == "--frontend":
-            # Host-phase implementation for the jax engines
-            # (batch-xla / batch-pallas):
-            #   native  staged C++ pipeline with only the DP batches on
-            #           device (the product path; default when the
-            #           native library is built)
-            #   device  seed->fragment->chain front end on the jax
-            #           device (models/frontend.py) with Python host
-            #           phases (the multichip/sharded-index path)
-            #   host    Python host phases throughout (BatchAligner)
+            # Removed round 5 (VERDICT r4 #6): the staged pipeline is
+            # the only device-engine host-phase implementation; the
+            # BatchAligner/device-frontend A/B paths are gone.
             i += 1
-            aa.frontend = argv[i]
-            if aa.frontend not in ("native", "device", "host"):
-                print("--frontend must be native, device, or host",
-                      file=sys.stderr)
-                sys.exit(1)
+            print("--frontend was removed; the staged native pipeline "
+                  "is the only host-phase path (see --seed for the "
+                  "device seed phase).", file=sys.stderr)
+            sys.exit(1)
         elif a == "--seed":
             # Seed-phase placement for the staged jax engines: `device`
             # runs the k-mer scan + SO/ROA lookup + (diag, qo) sort on
@@ -443,15 +447,17 @@ def _do_query(aa):
         # speed product path); reference-exact Python oracle otherwise.
         from .native import host as _h
         engine = "native" if _h.available() else "oracle"
-    # The jax engines default to the staged path: native C++ host phases
-    # with only the DP batches on device (VERDICT round 2: no per-read
-    # Python host work on the TPU path).  --frontend device/host selects
-    # the BatchAligner paths instead.
+    # The jax engines ARE the staged path: native C++ host phases with
+    # only the DP batches on device (VERDICT round 2: no per-read
+    # Python host work on the TPU path).
     staged = False
     if engine in ("batch-xla", "batch-pallas"):
         from .native import host as _h
-        staged = (_h.available()
-                  and getattr(aa, "frontend", "native") == "native")
+        if not _h.available():
+            print("--engine %s requires the native host library "
+                  "(tools/build_native.sh)." % engine, file=sys.stderr)
+            sys.exit(1)
+        staged = True
     if engine == "native" or staged:
         from .native import host
         if host.available():
@@ -569,18 +575,14 @@ def _do_query(aa):
         if num_hosts > 1:
             _multihost_merge(aa, genome, merged_ofile)
         return
-    if engine != "oracle":
-        _run_batch_engine(aa, genome, index, engine)
+    # Streaming oracle: bounded-RSS chunks (Query.c:102-228 analog).
+    from .core import pipeline
+    chunks = _iter_query_chunks(aa.qfile_name)
+    if aa.ofile_name in ("stdout", "-"):
+        pipeline.run_query_chunks(aa, genome, index, chunks, sys.stdout)
     else:
-        # Streaming oracle: bounded-RSS chunks (Query.c:102-228 analog).
-        from .core import pipeline
-        chunks = _iter_query_chunks(aa.qfile_name)
-        if aa.ofile_name in ("stdout", "-"):
-            pipeline.run_query_chunks(aa, genome, index, chunks,
-                                      sys.stdout)
-        else:
-            with open(aa.ofile_name, "w") as out:
-                pipeline.run_query_chunks(aa, genome, index, chunks, out)
+        with open(aa.ofile_name, "w") as out:
+            pipeline.run_query_chunks(aa, genome, index, chunks, out)
 
 
 def _find_chunk_cut(data, fastq):
@@ -858,7 +860,12 @@ def _run_native_engine(aa, genome, index, align_fn=None, dp_stats=None,
 
     prefetch = (align_fn is not None
                 and os.environ.get("YT_STAGED_PREFETCH", "1") != "0")
+    # --trace: device profiler trace around the align loop (the jax
+    # profiler analog of the reference's TIMING phase report,
+    # Timing.inl:66-106); no-op when no trace dir is given.
+    from .utils.timing import device_trace
     try:
+      with device_trace(getattr(aa, "trace_dir", None)):
         if start_read == 0 and write_header:
             emit_q.put((sam.file_header(aa, genome).encode("latin-1"),
                         None))
@@ -962,281 +969,6 @@ def _run_native_engine(aa, genome, index, align_fn=None, dp_stats=None,
                 os.unlink(cursor_path)
 
 
-def _run_batch_engine(aa, genome, index, engine):
-    """Batched pipeline with per-batch checkpointed output.
-
-    Failure-recovery analog (SURVEY.md section 5): output is flushed per
-    batch and a sidecar cursor records the number of fully-emitted reads;
-    --resume seeks past completed batches so a preempted run continues at
-    the last flushed batch.  Input streams in bounded chunks
-    (_iter_query_chunks) except under multi-host sharding, which needs
-    the global read count up front.
-    """
-    import os
-    from .io import fasta, sam
-    from .models.aligner import BatchAligner
-    from .utils.timing import StageTimers
-
-    num_hosts = getattr(aa, "num_hosts", 1)
-    multi_host = num_hosts > 1
-    if multi_host:
-        from .parallel import distributed as dist
-        dist.initialize(getattr(aa, "coordinator", None), num_hosts,
-                        getattr(aa, "host_id", 0))
-    backend = {"batch": "auto", "batch-numpy": "numpy",
-               "batch-xla": "xla", "batch-pallas": "pallas"}[engine]
-    if engine in ("batch-xla", "batch-pallas"):
-        _setup_compile_cache()
-    # The jax engines run the seed->fragment->chain front end on device
-    # (models/frontend.py); the host engines keep the native front end.
-    frontend = ("device" if engine in ("batch-xla", "batch-pallas")
-                else "host")
-    batch_size = getattr(aa, "batch_size", 256)
-    with open(aa.qfile_name, "rb") as f:
-        aa.fastq = f.read(1) == b"@"
-    records = None
-    merged_ofile = aa.ofile_name
-    if multi_host:
-        import jax
-        from .parallel import distributed as dist
-        with open(aa.qfile_name, "rb") as f:
-            qdata = f.read()
-        records = list(fasta.read_queries(qdata, aa))
-        lo, hi = dist.host_read_range(len(records))
-        records = records[lo:hi]
-        aa.ofile_name = dist.part_file_name(merged_ofile)
-    cursor_path = aa.ofile_name + ".cursor"
-    start_read = 0
-    mode = "w"
-    if getattr(aa, "resume", False) and not multi_host and \
-            os.path.exists(cursor_path):
-        # Cursor records "<reads_done> <output_bytes>".  A crash between
-        # the output flush and the cursor write leaves the output file
-        # ahead of the cursor; truncating to the recorded byte offset
-        # restores the exact post-batch state so append cannot duplicate
-        # (or split) records.
-        with open(cursor_path) as f:
-            fields = f.read().split()
-        start_read = int(fields[0]) if fields else 0
-        cursor_bytes = int(fields[1]) if len(fields) > 1 else None
-        if cursor_bytes is not None and os.path.exists(aa.ofile_name):
-            with open(aa.ofile_name, "r+b") as tf:
-                tf.truncate(cursor_bytes)
-        mode = "a"
-        print("Resuming at read %d." % start_read, file=sys.stderr)
-    timers = StageTimers()
-    from .utils.timing import device_trace
-    trace_dir = getattr(aa, "trace_dir", None)
-    aligner = BatchAligner(aa, genome, index, backend=backend,
-                           frontend=frontend)
-    out = (sys.stdout if aa.ofile_name in ("stdout", "-")
-           else open(aa.ofile_name, mode))
-    pool = None
-    if backend in ("auto", "numpy"):
-        # Resolve "auto" here so the host-parallel gate below sees the
-        # actual backend (BatchAligner would otherwise resolve it after
-        # the pool decision and -t would silently be ignored for the
-        # native path).
-        from .native import host as native_host
-        backend = ("native" if backend == "auto" and native_host.available()
-                   else "numpy" if backend == "auto" else backend)
-    if aa.num_threads > 1 and backend in ("numpy", "native"):
-        # Host data parallelism (the reference's pthread analog,
-        # Query.c:642-691): reads shard across worker processes; outputs
-        # are concatenated in read order, and per-read RNG streams are
-        # content-derived (QueryState.c:171-187), so the result is
-        # byte-identical to a single-worker run.
-        import concurrent.futures as cf
-        import multiprocessing as mp
-        if "fork" in mp.get_all_start_methods():
-            # fork inherits the parent's genome/index pages copy-on-write
-            # (the pthread analog of the reference's shared mmap index,
-            # Query.c:556): no per-worker reload, no extra index RAM.
-            global _WORKER_ALIGNER
-            _WORKER_ALIGNER = aligner
-            pool = cf.ProcessPoolExecutor(
-                max_workers=aa.num_threads,
-                mp_context=mp.get_context("fork"))
-        else:                                           # pragma: no cover
-            pool = cf.ProcessPoolExecutor(
-                max_workers=aa.num_threads,
-                initializer=_worker_init,
-                initargs=(aa, aa.gfile_name, aa.xfile_name, backend))
-    tpool = None
-    if aa.num_threads > 1 and backend in ("xla", "pallas"):
-        # PP-analog for the device engines (SURVEY.md section 2.2):
-        # -t N pipelines batches through N host threads sharing the one
-        # device — batch k's host phases (fragment coalescing, clump
-        # walks, SAM text) overlap batch k+1's device work (jax releases
-        # the GIL while blocked on the device).  Output is consumed in
-        # submission order, so bytes match the sequential run.
-        import concurrent.futures as cf
-        import threading as _th
-        if aligner.frontend is not None:
-            # The device front end keeps per-run device buffers; one
-            # batch at a time through it (device work serializes on the
-            # chip anyway — the overlap win is in the host phases).
-            _fe_lock = _th.Lock()
-            _pb = aligner.frontend.process_batch
-
-            def _locked_pb(states, _pb=_pb, _lk=_fe_lock):
-                with _lk:
-                    return _pb(states)
-            aligner.frontend.process_batch = _locked_pb
-        tpool = cf.ThreadPoolExecutor(max_workers=aa.num_threads)
-    # Pipeline overlap (the PP analog, SURVEY.md section 2.2): a writer
-    # thread emits batch k (serialize + flush + cursor) while the main
-    # thread aligns batch k+1.  Output order and the resume cursor's
-    # "fully emitted reads" invariant are preserved because the single
-    # writer consumes the queue in submission order.
-    import queue
-    import threading
-    emit_q = queue.Queue(maxsize=2)
-    emit_err = []
-    n = start_read
-
-    def _writer():
-        while True:
-            item = emit_q.get()
-            if item is None:
-                return
-            text, n_done = item
-            try:
-                with timers.stage("emit"):
-                    out.write(text)
-                    out.flush()
-                    if n_done is not None and out is not sys.stdout:
-                        with open(cursor_path, "w") as f:
-                            f.write("%d %d" % (n_done, out.tell()))
-            except Exception as e:          # pragma: no cover
-                emit_err.append(e)
-                # Drain so producers blocked on the bounded queue wake up
-                # and see emit_err instead of hanging forever.
-                while True:
-                    if emit_q.get() is None:
-                        return
-
-    writer = threading.Thread(target=_writer, daemon=True)
-    writer.start()
-    def _record_batches():
-        """(n_done, batch) pairs past the resume point.  Multi-host
-        consumes the in-memory shard; otherwise chunks stream from disk
-        at bounded RSS (constant for multi-GB inputs)."""
-        if records is not None:
-            for lo in range(start_read, len(records), batch_size):
-                b = records[lo:lo + batch_size]
-                yield lo + len(b), b
-            return
-        done = 0
-        for chunk, fastq in _iter_query_chunks(aa.qfile_name):
-            aa.fastq = fastq
-            recs = list(fasta.read_queries(chunk, aa))
-            stopped = getattr(aa, "stopped", False)
-            i = 0
-            while i < len(recs):
-                b = recs[i:i + batch_size]
-                lo = done
-                done += len(b)
-                i += batch_size
-                if done <= start_read:
-                    continue   # resume: batch fully emitted already
-                if lo < start_read:
-                    b = b[start_read - lo:]
-                yield done, b
-            if stopped:
-                # Zero-length record terminates the run (Query.c:306).
-                return
-
-    completed = False
-    try:
-        if start_read == 0 and not multi_host:
-            emit_q.put((sam.file_header(aa, genome), None))
-        if pool is not None or tpool is not None:
-            # Streaming dispatch with a bounded in-flight window:
-            # results are consumed strictly in submission order, so
-            # output ordering and cursor semantics match the sequential
-            # path while workers run continuously with no round barriers
-            # (the reference's locked-input work-stealing loop,
-            # Query.c:457-466, reconstructed with ordered output).
-            import collections
-            if pool is not None:
-                submit = lambda b: pool.submit(_worker_align, b)
-            else:
-                submit = lambda b: tpool.submit(aligner.align_batch, b)
-            pending = collections.deque()
-            max_pending = max(4, 2 * aa.num_threads)
-
-            def _drain_one():
-                nonlocal n
-                n_done, fut = pending.popleft()
-                with timers.stage("align batch"):
-                    outs = fut.result()
-                if emit_err:
-                    raise emit_err[0]
-                n = n_done
-                emit_q.put(("".join(outs), n))
-
-            for n_done, batch in _record_batches():
-                pending.append((n_done, submit(batch)))
-                if len(pending) >= max_pending:
-                    _drain_one()
-            while pending:
-                _drain_one()
-        else:
-            with device_trace(trace_dir):
-                for n_done, batch in _record_batches():
-                    with timers.stage("align batch"):
-                        outs = aligner.align_batch(batch)
-                    if emit_err:
-                        raise emit_err[0]
-                    n = n_done
-                    emit_q.put(("".join(outs), n))
-        emit_q.put(None)
-        writer.join()
-        if emit_err:
-            raise emit_err[0]
-        completed = True
-        if aa.verbose:
-            timers.print_report()
-            total_s = sum(timers.totals.values())
-            done = n - start_read
-            if total_s > 0 and done > 0:
-                print("Processed %d reads (%.0f reads/s)." %
-                      (done, done / total_s), file=sys.stderr)
-    finally:
-        if writer.is_alive():
-            try:
-                emit_q.put_nowait(None)
-            except queue.Full:
-                pass
-            writer.join(timeout=30)
-        if pool is not None:
-            pool.shutdown()
-        if tpool is not None:
-            tpool.shutdown(wait=False, cancel_futures=True)
-        if out is not sys.stdout:
-            out.close()
-            if completed and os.path.exists(cursor_path):
-                os.unlink(cursor_path)
-    if multi_host:
-        _multihost_merge(aa, genome, merged_ofile)
-
-
-_WORKER_ALIGNER = None
-
-
-def _worker_init(aa, gfile, xfile, backend):
-    global _WORKER_ALIGNER
-    from .io import nib2, index_io
-    from .models.aligner import BatchAligner
-    with open(gfile, "rb") as f:
-        genome = nib2.load(f.read())
-    index = index_io.load_index(xfile)
-    _WORKER_ALIGNER = BatchAligner(aa, genome, index, backend=backend)
-
-
-def _worker_align(chunk):
-    return _WORKER_ALIGNER.align_batch(chunk)
 
 
 if __name__ == "__main__":

@@ -173,7 +173,7 @@ def phantom_hits(offsets, so_offsets, counts, roa, wrapped_idx):
     pushing each as a hit for this window, until one with ro >= qo
     (inclusive).  Returns (extra_qo, extra_ro) lists.  Shared by the
     host path (find_fragments) and the device front end's per-window
-    injection (models/frontend.py)."""
+    injection (models/seeder.py)."""
     roa_len = len(roa)
     extra_qo = []
     extra_ro = []

@@ -2306,8 +2306,8 @@ static std::pair<int64_t, int64_t> align_read(State& st, std::string& out,
 //   yt_batch_finish   score/split (rare careful re-extensions run on the
 //                     native DP) -> OQC/FBS -> SAM text
 //
-// The stage split mirrors models/aligner.py's phased batch engine
-// (which is byte-parity-validated): all problems within a phase are
+// The stage split follows the phased batch decomposition (byte-
+// parity-validated since round 2): all problems within a phase are
 // independent in the reference (QueryMatch.c:306-331 processes clumps
 // whose gap fills and extensions read only state fixed before any DP
 // runs), so batching across reads preserves byte parity.

@@ -76,7 +76,7 @@ def expand_sort_hits_device(hashes, clean, so, roa, *, max_hits, capacity):
     entirely ro < qo: the reference heap pre-seed then reads past the
     run -- the phantom-hit quirk, QueryMatch.c:57-69; the caller
     injects the exact phantom hits host-side per flagged window,
-    models/frontend._inject_phantoms) plus allwrapped [B] = any(wrapped).
+    models/seeder._inject_row) plus allwrapped [B] = any(wrapped).
     """
     b, n = hashes.shape
     so_lo = so[hashes]
