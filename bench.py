@@ -24,6 +24,63 @@ REF_BIN = "/root/yaha_ref_build/bin/yaha"
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+def _measure_rtt():
+    """Median trivial-dispatch round trip (subtracted from chain walls).
+    Values are FETCHED (np.asarray): on the remote-TPU backend
+    block_until_ready can return before results materialize."""
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x + 1)
+    np.asarray(f(jnp.int32(0)))
+    ts = []
+    for k in range(7):
+        t0 = time.time()
+        np.asarray(f(jnp.int32(k + 1)))
+        ts.append(time.time() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def _chain_rate(step_fn, q0, K, cells_per_launch, trials=3):
+    """True per-launch device seconds via a data-dependent scan chain:
+    ONE dispatch runs K sequential kernel invocations, each perturbing
+    the next input from its own output (no launch can be elided or
+    served from the remote launch-memoizer), and the scalar result is
+    fetched.  Round 5: the old protocol (reused device-resident inputs
+    over windows, block_until_ready) measured memoized dispatch, not
+    compute — it reported 183.9 Gcells/s where the chain measures ~36
+    (NOTES.md round-5).  Returns cells/s using the best trial."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(qs):
+        def body(carry, _):
+            qc, acc = carry
+            s = step_fn(qc)
+            qc2 = ((qc.astype(jnp.int32) + (s % 3)) % 4).astype(jnp.uint8)
+            return (qc2, acc + s), None
+        (_, acc), _ = jax.lax.scan(body, (qs, jnp.int32(0)), None,
+                                   length=K)
+        return acc
+
+    import jax as _j
+    q_d = _j.device_put(q0)
+    q_d.block_until_ready()
+    np.asarray(chain(q_d))            # compile
+    rtt = _measure_rtt()
+    best = float("inf")
+    for t in range(trials):
+        q2 = q0.copy()
+        q2[:, 2] = (q2[:, 2] + t + 1) % 4
+        q_d2 = _j.device_put(q2)
+        q_d2.block_until_ready()
+        t0 = time.time()
+        np.asarray(chain(q_d2))
+        best = min(best, time.time() - t0)
+    per = max(best - rtt, 1e-9) / K
+    return cells_per_launch / per
+
+
 def bench_extension(use_tpu):
     from yaha_tpu.ops import sw_pallas, sw_batch
     import jax.numpy as jnp
@@ -45,33 +102,23 @@ def bench_extension(use_tpu):
     rlens = qlens + bw2
     kw = dict(band_width=5, go=5, ge=2, rc=3, ms=1, max_gap=50,
               max_intron=50, x_cutoff=25)
-
-    # Device-resident DISTINCT inputs: the remote-TPU execution path
-    # memoizes bit-identical launches and its h2d staging dwarfs kernel
-    # time (NOTES.md).
-    reps = 8 if use_tpu else 2
-    arg_sets = []
-    for s in range(reps):
-        q2 = q.copy()
-        q2[:, 0] = (q2[:, 0] + s) % 4
-        arg_sets.append(tuple(jnp.asarray(x)
-                              for x in (q2, qlens, r, rlens)))
-    if use_tpu:
-        fwd = lambda a: sw_pallas.extension_forward_pallas(*a, **kw)
-    else:
-        fwd = lambda a: sw_batch.batched_extension_forward(*a, **kw)
-    out = fwd(arg_sets[0])
-    out["score"].block_until_ready()  # compile
-    windows = 5 if use_tpu else 1
-    best_dt = float("inf")
-    for _ in range(windows):
-        t0 = time.time()
-        outs = [fwd(a) for a in arg_sets]
-        for o in outs:
-            o["score"].block_until_ready()
-        best_dt = min(best_dt, (time.time() - t0) / reps)
     cells = n * ql * 21
-    return cells / best_dt, n, ql
+    if use_tpu:
+        fwd = sw_pallas.extension_forward_pallas
+        K = 512
+    else:
+        fwd = sw_batch.batched_extension_forward
+        K = 4
+    r_d = np.asarray(r)
+    qlens_j = jnp.asarray(qlens)
+    rlens_j = jnp.asarray(rlens)
+    r_j = jnp.asarray(r_d)
+
+    def step(qc):
+        out = fwd(qc, qlens_j, r_j, rlens_j, **kw)
+        return jnp.sum(out["score"])
+
+    return _chain_rate(step, q, K, cells), n, ql
 
 
 def bench_anchored(use_tpu):
@@ -96,28 +143,24 @@ def bench_anchored(use_tpu):
     lbw = np.full(n, lbw_v, np.int32)
     rbw = np.full(n, rbw_v, np.int32)
     kw = dict(go=5, ge=2, rc=3, ms=1, max_gap=50, max_intron=50)
-    reps = 6 if use_tpu else 2
-    arg_sets = []
-    for s in range(reps):
-        q2 = q.copy()
-        q2[:, 0] = (q2[:, 0] + s) % 4
-        arg_sets.append(tuple(jnp.asarray(x) for x in
-                              (q2, qlens, r, rlens, lbw, rbw)))
+    qlens_j = jnp.asarray(qlens)
+    rlens_j = jnp.asarray(rlens)
+    lbw_j = jnp.asarray(lbw)
+    rbw_j = jnp.asarray(rbw)
+    r_j = jnp.asarray(r)
     if use_tpu:
-        fwd = lambda a: sw_pallas.anchored_forward_pallas(*a, **kw)
+        fwd = sw_pallas.anchored_forward_pallas
+        K = 256
     else:
-        fwd = lambda a: sw_batch.batched_anchored_forward(*a, **kw)
-    out = fwd(arg_sets[0])
-    out["score"].block_until_ready()
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        outs = [fwd(a) for a in arg_sets]
-        for o in outs:
-            o["score"].block_until_ready()
-        best_dt = min(best_dt, (time.time() - t0) / reps)
+        fwd = sw_batch.batched_anchored_forward
+        K = 4
+
+    def step(qc):
+        out = fwd(qc, qlens_j, r_j, rlens_j, lbw_j, rbw_j, **kw)
+        return jnp.sum(out["score"])
+
     cells_per = ql * rl                # whole matrix in band
-    return n * cells_per / best_dt, 2 * (rl + 1) + 1
+    return _chain_rate(step, q, K, n * cells_per), 2 * (rl + 1) + 1
 
 
 def bench_anchored_banded(use_tpu):
@@ -137,30 +180,26 @@ def bench_anchored_banded(use_tpu):
     lbw = np.full(n, lbw_v, np.int32)
     rbw = np.full(n, rbw_v, np.int32)
     kw = dict(go=5, ge=2, rc=3, ms=1, max_gap=50, max_intron=50)
-    reps = 6 if use_tpu else 2
-    arg_sets = []
-    for s in range(reps):
-        q2 = q.copy()
-        q2[:, 0] = (q2[:, 0] + s) % 4
-        arg_sets.append(tuple(jnp.asarray(x) for x in
-                              (q2, qlens, r, rlens, lbw, rbw)))
+    qlens_j = jnp.asarray(qlens)
+    rlens_j = jnp.asarray(rlens)
+    lbw_j = jnp.asarray(lbw)
+    rbw_j = jnp.asarray(rbw)
+    r_j = jnp.asarray(r)
     if use_tpu:
-        fwd = lambda a: sw_pallas.anchored_forward_pallas_banded(
-            *a, wband=wband, **kw)
+        fwd = lambda qc, *a, **k: sw_pallas.anchored_forward_pallas_banded(
+            qc, *a, wband=wband, **k)
+        K = 256
     else:
-        fwd = lambda a: sw_batch.batched_anchored_forward(*a, **kw)
-    out = fwd(arg_sets[0])
-    out["score"].block_until_ready()
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        outs = [fwd(a) for a in arg_sets]
-        for o in outs:
-            o["score"].block_until_ready()
-        best_dt = min(best_dt, (time.time() - t0) / reps)
+        fwd = sw_batch.batched_anchored_forward
+        K = 4
+
+    def step(qc):
+        out = fwd(qc, qlens_j, r_j, rlens_j, lbw_j, rbw_j, **kw)
+        return jnp.sum(out["score"])
+
     cells_per = sum(min(i + rbw_v, rl) - max(i - lbw_v, 1) + 1
                     for i in range(1, ql + 1))
-    return n * cells_per / best_dt, wband
+    return _chain_rate(step, q, K, n * cells_per), wband
 
 
 def _ensure_ref_bin():

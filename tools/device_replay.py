@@ -175,21 +175,24 @@ def measure_chunk_device(aligner, pr, lo, hi, windows=5):
             a.block_until_ready()
         staged.append(tuple(args))
 
-    # Trivial-dispatch RTT baseline (distinct inputs per rep).
+    # Trivial-dispatch RTT baseline (distinct inputs per rep).  Walls
+    # fetch the scalar VALUE: on the remote-TPU backend
+    # block_until_ready can return before the result is materialized,
+    # while np.asarray is a true round trip.
     f = jax.jit(lambda x: x + 1)
-    f(jnp.int32(0)).block_until_ready()
+    np.asarray(f(jnp.int32(0)))
     rtts = []
     for k in range(7):
         t0 = time.time()
-        f(jnp.int32(k + 1)).block_until_ready()
+        np.asarray(f(jnp.int32(k + 1)))
         rtts.append(time.time() - t0)
     rtt = sorted(rtts)[len(rtts) // 2]
 
-    run_jit(staged[0]).block_until_ready()        # compile
+    np.asarray(run_jit(staged[0]))                # compile
     walls = []
     for args in staged:
         t0 = time.time()
-        run_jit(args).block_until_ready()
+        np.asarray(run_jit(args))
         walls.append(time.time() - t0)
     walls.sort()
     med = walls[len(walls) // 2]

@@ -1,22 +1,28 @@
 #!/usr/bin/env python3
-"""Empirical roofline for the Pallas extension kernel (VERDICT r2 #2).
+"""Kernel roofline: measured device rates for the Pallas DP kernels vs
+measured VPU / HBM capability probes.
 
-The 1-byte packed backtrack (commit 6ede30f) voided the old
-"output-bandwidth-bound, 5 B/cell" claim; this tool measures, on the
-attached device, the three quantities that decide the new bound:
+ROUND-5 PROTOCOL (supersedes the windowed protocol): every measurement
+is a DATA-DEPENDENT CHAIN inside one jitted dispatch — K sequential
+kernel invocations, each perturbing the next input from its own output
+— and the scalar result is FETCHED (np.asarray).  Two failure modes of
+the old protocol made its numbers dispatch artifacts, not device rates
+(NOTES.md round 5):
 
-  1. the extension kernel's cells/s (device-resident distinct inputs,
-     same protocol as bench.py);
-  2. an int32 VPU lane-op rate probe: a jit'd dependent chain of
-     add/mul/select/compare ops shaped like the kernel's cell work;
-  3. an HBM store-bandwidth probe (int8 writes, the backtrack stream).
+  * the remote-TPU execution path memoizes bit-identical launches, and
+    re-timing previously-seen device-resident inputs hits that cache;
+  * block_until_ready can return before the result materializes on
+    this backend, so per-launch "walls" measured dispatch enqueue.
 
-and prints one JSON line with the measured rates and the implied
-per-cell budget: ops/cell the VPU could afford at the measured cells/s
-vs the kernel's static op count, and backtrack bytes/s vs HBM.
+The chain is immune to both (each step's input depends on the previous
+step's output), and a measured trivial-dispatch RTT is subtracted from
+the single blocking wall.  The old protocol reported 183.9 Gcells/s
+for the extension kernel; the chain measures ~36 — still ~345x the
+reference's measured single-core DP (1.054e8 cells/s), and the number
+BENCH_r05 quotes.
 
-Run on TPU (default env) or CPU (JAX_PLATFORMS=cpu, numbers meaningless
-for the roofline but the harness still works).
+Usage: python tools/kernel_roofline.py            (TPU via axon env)
+Prints one JSON line.
 """
 import json
 import os
@@ -29,49 +35,57 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _time_windows(fn, args_list, windows=5):
-    """Every timed launch uses a DISTINCT input set: the remote-TPU
-    execution path memoizes bit-identical launches (NOTES.md), so
-    repeating any input would measure the cache, not the device.
-    args_list must hold windows+1 groups; group 0 warms/compiles.
-    Returns the sorted per-launch window times (min..max) — the idle-box
-    capture protocol (VERDICT r3 #7) quotes min/median/max so the
-    tunnel-load spread is visible in the published number."""
-    groups = len(args_list)
-    assert groups >= windows + 1, (groups, windows)
-    per = max(1, groups // (windows + 1))
-    for a in args_list[:per]:
-        r = fn(a)
-    jax_block(r)
-    dts = []
-    for wdx in range(windows):
-        grp = args_list[(wdx + 1) * per:(wdx + 2) * per]
-        if not grp:
-            break
+def _measure_rtt():
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x + 1)
+    np.asarray(f(jnp.int32(0)))
+    ts = []
+    for k in range(7):
         t0 = time.time()
-        for a in grp:
-            r = fn(a)
-        jax_block(r)
-        dts.append((time.time() - t0) / len(grp))
-    return sorted(dts)
+        np.asarray(f(jnp.int32(k + 1)))
+        ts.append(time.time() - t0)
+    return sorted(ts)[len(ts) // 2]
 
 
-def _time_best(fn, args_list, windows=5):
-    return _time_windows(fn, args_list, windows)[0]
+def _chain_trials(step_fn, q0, K, trials=5):
+    """Per-trial chain walls (seconds per launch, RTT subtracted),
+    sorted ascending.  step_fn(q) -> int32 scalar."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(qs):
+        def body(carry, _):
+            qc, acc = carry
+            s = step_fn(qc)
+            qc2 = ((qc.astype(jnp.int32) + (s % 3)) % 4).astype(jnp.uint8)
+            return (qc2, acc + s), None
+        (_, acc), _ = jax.lax.scan(body, (qs, jnp.int32(0)), None,
+                                   length=K)
+        return acc
+
+    q_d = jax.device_put(q0)
+    q_d.block_until_ready()
+    np.asarray(chain(q_d))
+    rtt = _measure_rtt()
+    walls = []
+    for t in range(trials):
+        q2 = q0.copy()
+        q2[:, 2] = (q2[:, 2] + t + 1) % 4
+        q_d2 = jax.device_put(q2)
+        q_d2.block_until_ready()
+        t0 = time.time()
+        np.asarray(chain(q_d2))
+        walls.append(max(time.time() - t0 - rtt, 1e-9) / K)
+    return sorted(walls)
 
 
 def _spread(dts, scale):
-    """{min, median, max} of scale/dt (rate units)."""
+    """{min, median, max} of scale/dt (rate units, Gcells/s)."""
     return {"max": round(scale / dts[0] / 1e9, 2),
             "median": round(scale / dts[len(dts) // 2] / 1e9, 2),
             "min": round(scale / dts[-1] / 1e9, 2)}
-
-
-def jax_block(x):
-    import jax
-    jax.tree_util.tree_map(
-        lambda l: l.block_until_ready() if hasattr(l, "block_until_ready")
-        else l, x)
 
 
 def bench_ext_kernel():
@@ -92,15 +106,16 @@ def bench_ext_kernel():
     rlens = qlens + bw2
     kw = dict(band_width=5, go=5, ge=2, rc=3, ms=1, max_gap=50,
               max_intron=50, x_cutoff=25)
-    arg_sets = []
-    for sft in range(18):
-        q2 = q.copy()
-        q2[:, 0] = (q2[:, 0] + sft) % 4
-        q2[:, 1] = (q2[:, 1] + sft // 4) % 4
-        arg_sets.append(tuple(jnp.asarray(x)
-                              for x in (q2, qlens, r, rlens)))
-    fn = lambda a: sw_pallas.extension_forward_pallas(*a, **kw)
-    dts = _time_windows(fn, arg_sets)
+    qlens_j = jnp.asarray(qlens)
+    rlens_j = jnp.asarray(rlens)
+    r_j = jnp.asarray(r)
+
+    def step(qc):
+        out = sw_pallas.extension_forward_pallas(qc, qlens_j, r_j,
+                                                 rlens_j, **kw)
+        return jnp.sum(out["score"])
+
+    dts = _chain_trials(step, q, 512)
     w = 21
     cells = n * ql * w
     bt_bytes = n * (ql + 1) * w      # 1 B/cell backtrack stream
@@ -109,55 +124,47 @@ def bench_ext_kernel():
 
 
 def bench_anchored_kernels():
-    """Both anchored (gap-fill) kernels at their production shapes
-    (bench.py dispatch): the full-matrix kernel at its wide-band shape
-    and the band-relative kernel at a long-gap-fill shape — with the
-    windowed spread (VERDICT r3 #6/#7)."""
+    """Both anchored (gap-fill) kernels at their production shapes."""
     from yaha_tpu.ops import sw_pallas
     import jax.numpy as jnp
     rng = np.random.default_rng(11)
     n = sw_pallas.TILE
     out = {}
+    kw = dict(go=5, ge=2, rc=3, ms=1, max_gap=50, max_intron=50)
     # full-matrix, unbanded wide-band shape (bench.bench_anchored)
     ql, rl = 64, 96
     q = rng.integers(0, 4, (n, ql)).astype(np.uint8)
     r = rng.integers(0, 4, (n, rl)).astype(np.uint8)
-    qlens = np.full(n, ql, np.int32)
-    rlens = np.full(n, rl, np.int32)
-    lbw = np.full(n, rl + 1, np.int32)
-    rbw = np.full(n, rl + 1, np.int32)
-    kw = dict(go=5, ge=2, rc=3, ms=1, max_gap=50, max_intron=50)
-    args = []
-    for s in range(18):
-        q2 = q.copy()
-        q2[:, 0] = (q2[:, 0] + s) % 4
-        q2[:, 1] = (q2[:, 1] + s // 4) % 4
-        args.append(tuple(jnp.asarray(x) for x in
-                          (q2, qlens, r, rlens, lbw, rbw)))
-    dts = _time_windows(
-        lambda a: sw_pallas.anchored_forward_pallas(*a, **kw), args)
+    args = [jnp.asarray(x) for x in
+            (np.full(n, ql, np.int32), np.asarray(r),
+             np.full(n, rl, np.int32), np.full(n, rl + 1, np.int32),
+             np.full(n, rl + 1, np.int32))]
+
+    def step_full(qc):
+        o = sw_pallas.anchored_forward_pallas(
+            qc, args[0], args[1], args[2], args[3], args[4], **kw)
+        return jnp.sum(o["score"])
+
+    dts = _chain_trials(step_full, q, 256)
     out["anchored_full_gcells_s"] = _spread(dts, n * ql * rl)
-    # band-relative long-gap shape (bench.bench_anchored_banded:
-    # ql=192 rl=256 lbw=5 rbw=69, wband=75)
+    # band-relative long-gap shape (ql=192 rl=256 lbw=5 rbw=69 wband=75)
     ql2, rl2, d = 192, 256, 5
     lbw_v, rbw_v = d, d + (rl2 - ql2)
     wband = lbw_v + rbw_v + 1
-    q = rng.integers(0, 4, (n, ql2)).astype(np.uint8)
-    r = rng.integers(0, 4, (n, rl2)).astype(np.uint8)
-    qlens = np.full(n, ql2, np.int32)
-    rlens = np.full(n, rl2, np.int32)
-    lbw = np.full(n, lbw_v, np.int32)
-    rbw = np.full(n, rbw_v, np.int32)
-    args = []
-    for s in range(18):
-        q2 = q.copy()
-        q2[:, 0] = (q2[:, 0] + s) % 4
-        q2[:, 1] = (q2[:, 1] + s // 4) % 4
-        args.append(tuple(jnp.asarray(x) for x in
-                          (q2, qlens, r, rlens, lbw, rbw)))
-    dts = _time_windows(
-        lambda a: sw_pallas.anchored_forward_pallas_banded(
-            *a, wband=wband, **kw), args)
+    q2 = rng.integers(0, 4, (n, ql2)).astype(np.uint8)
+    r2 = rng.integers(0, 4, (n, rl2)).astype(np.uint8)
+    args2 = [jnp.asarray(x) for x in
+             (np.full(n, ql2, np.int32), np.asarray(r2),
+              np.full(n, rl2, np.int32), np.full(n, lbw_v, np.int32),
+              np.full(n, rbw_v, np.int32))]
+
+    def step_band(qc):
+        o = sw_pallas.anchored_forward_pallas_banded(
+            qc, args2[0], args2[1], args2[2], args2[3], args2[4],
+            wband=wband, **kw)
+        return jnp.sum(o["score"])
+
+    dts = _chain_trials(step_band, q2, 128)
     cells_per = sum(min(i + rbw_v, rl2) - max(i - lbw_v, 1) + 1
                     for i in range(1, ql2 + 1))
     out["anchored_banded_gcells_s"] = _spread(dts, n * cells_per)
@@ -165,15 +172,14 @@ def bench_anchored_kernels():
 
 
 def bench_vpu_int32():
-    """Dependent-chain int32 lane-op rate: 8 ops per iteration (add,
-    mul, two compares folded to selects, two selects, max, sub) on a
-    [K, 8, 128] block — the kernel's cell-work mix, serialized like the
-    kernel's in-row dependency."""
+    """Dependent-chain int32 lane-op rate: 8 ops per iteration on a
+    [K, 8, 128] block, fori chain long enough (2^17) that the single
+    dispatch's compute dwarfs the RTT."""
     import jax
     import jax.numpy as jnp
 
-    K = 64          # independent lanes-blocks to fill the pipeline
-    ITERS = 256     # dependent chain length
+    K = 64
+    ITERS = 1 << 17
     OPS = 8
 
     @jax.jit
@@ -188,39 +194,51 @@ def bench_vpu_int32():
             f = e + 1
             return (f, jnp.where(f > y, y, f))
         x, y = jax.lax.fori_loop(0, ITERS, body, (x, y))
-        return x + y
+        return jnp.sum(x) + jnp.sum(y)
 
     rng = np.random.default_rng(3)
-    args = []
-    for _ in range(18):
-        x = jnp.asarray(rng.integers(0, 100, (K, 8, 128), np.int32))
-        y = jnp.asarray(rng.integers(1, 100, (K, 8, 128), np.int32))
-        args.append((x, y))
-    dt = _time_best(lambda a: chain(*a), args)
-    lane_ops = K * 8 * 128 * ITERS * OPS
-    return lane_ops / dt
+    x0 = rng.integers(0, 100, (K, 8, 128)).astype(np.int32)
+    y0 = rng.integers(1, 100, (K, 8, 128)).astype(np.int32)
+    np.asarray(chain(jnp.asarray(x0), jnp.asarray(y0)))
+    rtt = _measure_rtt()
+    best = float("inf")
+    for t in range(3):
+        x0[0, 0, 0] = t
+        t0 = time.time()
+        np.asarray(chain(jnp.asarray(x0), jnp.asarray(y0)))
+        best = min(best, max(time.time() - t0 - rtt, 1e-9))
+    return K * 8 * 128 * ITERS * OPS / best
 
 
 def bench_hbm_store():
-    """int8 store bandwidth: y = x ^ 1 over 256 MB (reads+writes HBM)."""
+    """Streaming read+write bandwidth: a fori chain of elementwise
+    passes over a 256 MB int32 buffer inside one dispatch (each
+    iteration rewrites the carry: 256 MB read + 256 MB write)."""
     import jax
     import jax.numpy as jnp
 
     NB = 256 << 20
+    N = NB // 4
+    ITERS = 32
 
     @jax.jit
-    def f(x):
-        return x ^ 1
+    def chain(x):
+        def body(i, x):
+            return x + 1
+        x = jax.lax.fori_loop(0, ITERS, body, x)
+        return jnp.sum(x[:1024])
 
     rng = np.random.default_rng(5)
-    base = rng.integers(0, 127, NB, np.int8)
-    args = []
-    for sft in range(8):
-        a = base.copy()
-        a[:64] = sft          # distinct bytes, cheap to derive
-        args.append(jnp.asarray(a))
-    dt = _time_best(f, args, windows=3)
-    return 2 * NB / dt            # read + write
+    base = rng.integers(0, 100, N).astype(np.int32)
+    np.asarray(chain(jnp.asarray(base)))
+    rtt = _measure_rtt()
+    best = float("inf")
+    for t in range(3):
+        base[0] = t
+        t0 = time.time()
+        np.asarray(chain(jnp.asarray(base)))
+        best = min(best, max(time.time() - t0 - rtt, 1e-9))
+    return 2 * NB * ITERS / best
 
 
 def main():
@@ -234,21 +252,25 @@ def main():
     # from the source (arithmetic + compare + select + store ops on
     # [8,128] tiles): ~55 before compiler fusion.
     OPS_PER_CELL = 55
+    HBM_SPEC = 819e9          # v5e HBM bandwidth (spec)
     out = {
         "platform": plat,
+        "protocol": "data-dependent chain, one dispatch, value fetched,"
+                    " RTT subtracted (round 5)",
         "ext_kernel_gcells_s": round(cells_s / 1e9, 2),
         "ext_bt_stream_gb_s": round(bt_bytes_s / 1e9, 2),
         "vpu_int32_glaneops_s": round(vpu_ops_s / 1e9, 1),
-        "hbm_int8_rw_gb_s": round(hbm_bytes_s / 1e9, 1),
+        # Informational only: XLA's loop-carried elementwise passes do
+        # not stream at HBM peak on this backend, so the probe badly
+        # underestimates; the roofline fraction uses the spec number.
+        "hbm_probe_gb_s_underestimates": round(hbm_bytes_s / 1e9, 1),
+        "hbm_spec_gb_s": round(HBM_SPEC / 1e9),
         "shape": "%dx%dbp w=%d" % (n, ql, w),
         # Implied budget: lane-ops the VPU delivers per computed cell at
         # the measured rates, vs the kernel's static op count.
         "vpu_ops_per_cell_available": round(vpu_ops_s / cells_s, 1),
         "static_ops_per_cell": OPS_PER_CELL,
-        "bt_stream_fraction_of_hbm": round(bt_bytes_s / hbm_bytes_s, 3),
-        # Windowed spread (min/median/max over 5 distinct-input
-        # windows): the idle-box capture protocol of VERDICT r3 #7 —
-        # quote the spread, not a single cell.
+        "bt_stream_fraction_of_hbm_spec": round(bt_bytes_s / HBM_SPEC, 3),
         "ext_kernel_gcells_s_spread": ext_spread,
     }
     out.update(anch)

@@ -143,10 +143,16 @@ def _rle_walk(bt, jmp, y0, x0, active0, *, cap, max_iters, moves):
         ln = jnp.where(is_i, 1, jl)
 
         # Flush the pending run when the op changes or the walk ends.
+        # Emission is TIME-MAJOR: one O(n) row write per iteration
+        # (dynamic_update_index into out[t]).  The old per-iteration
+        # scatter into an [n, cap] buffer lowered as O(n x cap) work
+        # per step on TPU — measured 0.47 s of a 4k x 1 kb chunk's
+        # 0.93 s device time (BASELINE round 5); entries are compacted
+        # to [n, cap] AFTER the loop with one stable sort.
         flush = (prev != 0) & ((do & (code != prev)) | is_end)
         entry = (prev << RLE_OP_SHIFT) | run
-        col = jnp.where(flush, cur, cap)
-        out = out.at[rows, col].set(entry, mode="drop")
+        out = jax.lax.dynamic_update_index_in_dim(
+            out, jnp.where(flush, entry, 0), t, axis=0)
         cur = cur + flush
         new_run = do & ((code != prev) | (prev == 0))
         run = jnp.where(new_run, ln, jnp.where(do, run + ln, run))
@@ -163,9 +169,21 @@ def _rle_walk(bt, jmp, y0, x0, active0, *, cap, max_iters, moves):
     state = (jnp.int32(0), y0.astype(jnp.int32), x0.astype(jnp.int32),
              jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
              active0, jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
-             jnp.zeros((n, cap), jnp.int32))
+             jnp.zeros((max_iters, n), jnp.int32))
     s = jax.lax.while_loop(cond, body, state)
-    return s[8], s[7]  # (rle [n, cap], n_ops [n])
+    # Compact the time-major emissions to walk-order [n, cap]: a stable
+    # sort by is-zero moves each problem's entries (emitted at strictly
+    # increasing t) to the front in order.  One O(n T log T) pass
+    # replaces per-iteration O(n cap) scatters.
+    ot = s[8].T                                  # [n, T]
+    key = (ot == 0).astype(jnp.int32)
+    _, packed = jax.lax.sort((key, ot), num_keys=1, dimension=1,
+                             is_stable=True)
+    if max_iters >= cap:
+        rle = packed[:, :cap]
+    else:
+        rle = jnp.pad(packed, ((0, 0), (0, cap - max_iters)))
+    return rle, s[7]  # (rle [n, cap], n_ops [n])
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "max_iters"))
