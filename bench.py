@@ -430,6 +430,13 @@ def _tpu_reachable(timeout=240):
 
 def main():
     sys.path.insert(0, REPO)
+    # Persistent kernel-executable cache for the in-process kernel
+    # benches too (the chained-scan programs cost minutes of remote
+    # compile cold; cached they load in seconds).
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/yaha_tpu/xla"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                          "0.0")
     use_tpu = _tpu_reachable()
     if not use_tpu:
         # Device link down or CPU-only env: bench the XLA twins on CPU

@@ -194,12 +194,28 @@ class StagedAligner:
 
     # ---- DP backends ----
 
-    def _device_rle(self, decode, bt, y0, x0, active, cap, max_iters):
+    def _device_rle(self, decode, bt, y0, x0, active, cap, max_iters,
+                    order=None):
         """Run the on-device RLE walk over problem slices (bounding the
         jump-plane transient HBM); returns (rle device [np, cap], n_ops
-        host [np])."""
+        host [np], row_map [np]).
+
+        `order` (host int array over the plane's rows) reorders the
+        problems before slicing: the walk loop runs until the LAST
+        active walk in a slice finishes, so grouping problems by
+        expected walk length (ascending maxi) lets the slices full of
+        X-drop-killed junk extensions exit after a few iterations
+        instead of riding the longest real walk (round 5; the measured
+        decode cost is per-iteration x slices).  row_map[p] is the rle
+        row holding problem p."""
         import jax.numpy as jnp
         np_, h, w = bt.shape
+        if order is not None:
+            idx = jnp.asarray(np.ascontiguousarray(order))
+            bt = jnp.take(bt, idx, axis=0)
+            y0 = jnp.take(jnp.asarray(y0), idx, axis=0)
+            x0 = jnp.take(jnp.asarray(x0), idx, axis=0)
+            active = jnp.take(jnp.asarray(active), idx, axis=0)
         sl = _pow2_floor(max(1, DECODE_MAX_CELLS // max(1, h * w)), 1024)
         sl = min(sl, np_)
         outs, counts = [], []
@@ -211,14 +227,22 @@ class StagedAligner:
             counts.append(c)
         rle = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
         cnt = counts[0] if len(counts) == 1 else jnp.concatenate(counts)
-        return rle, np.asarray(cnt)    # one blocking d2h for the counts
+        cnt = np.asarray(cnt)          # one blocking d2h for the counts
+        if order is None:
+            row_map = np.arange(np_, dtype=np.int64)
+        else:
+            row_map = np.empty(np_, np.int64)
+            row_map[order] = np.arange(np_)
+            cnt = cnt[row_map]         # per-problem counts
+        return rle, cnt, row_map
 
-    def _rle_parts(self, rle_dev, nops, n, cap):
+    def _rle_parts(self, rle_dev, nops, n, cap, row_map=None):
         """Tier-compact device RLE rows by per-problem item count before
         d2h (the ops-count twin of the row-tier plane compaction), as a
         SINGLE ragged device gather + one transfer — per-tier transfers
         each pay a blocking round trip on a remote-TPU link; yields
-        (lidx, items array, tier)."""
+        (lidx, items array, tier).  `row_map[p]` = rle row of problem p
+        (identity when the decode ran unsorted)."""
         from ..ops import decode_jax
         tiers = np.minimum(_pow2_arr(np.maximum(nops[:n], 1), 8), cap)
         order = np.argsort(tiers, kind="stable")
@@ -229,7 +253,7 @@ class StagedAligner:
         total_pad = _pow2(total, 1024)
         n_pad = _pow2(n, 256)
         src_aug = np.zeros(n_pad + 1, np.int32)
-        src_aug[:n] = order
+        src_aug[:n] = order if row_map is None else row_map[order]
         t_aug = np.zeros(n_pad + 1, np.int64)
         t_aug[:n] = t_sorted
         t_aug[n_pad] = total_pad - total
@@ -317,12 +341,12 @@ class StagedAligner:
                     x0 = rl_p.astype(np.int32)
                     bound = qg + rg + 2
                 cap = _pow2(bound, 32)
-                rle_dev, nops = self._device_rle(
+                rle_dev, nops, rmap = self._device_rle(
                     decode, bt_dev, ql_p.astype(np.int32), x0,
                     np.ones(len(ql_p), bool), cap, bound + 16)
                 parts = []
                 for lidx, arr, t in self._rle_parts(rle_dev, nops, n,
-                                                    cap):
+                                                    cap, rmap):
                     parts.append(
                         (lidx, FMT_RLE, arr,
                          np.ascontiguousarray(nops[lidx].astype(np.int32)),
@@ -423,12 +447,16 @@ class StagedAligner:
                 w = out["bt"].shape[2]
                 bound = 2 * qg + w + 2
                 cap = _pow2(bound, 32)
-                rle_dev, nops = self._device_rle(
+                # Walk-length-sorted decode slices: ascending maxi (the
+                # walk's row bound) groups X-drop-killed junk together
+                # so those slices' loops exit after a few iterations.
+                rle_dev, nops, rmap = self._device_rle(
                     decode_jax.rle_decode_band, out["bt"], out["maxi"],
-                    out["maxj"], out["score"] > 0, cap, bound + 16)
+                    out["maxj"], out["score"] > 0, cap, bound + 16,
+                    order=np.argsort(smm[1], kind="stable"))
                 parts = []
                 for lidx, arr, t in self._rle_parts(rle_dev, nops, n,
-                                                    cap):
+                                                    cap, rmap):
                     parts.append(
                         (lidx, FMT_RLE, arr,
                          np.ascontiguousarray(nops[lidx].astype(np.int32)),
