@@ -17,6 +17,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/yaha_tpu/xla"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
+# The env vars above are not enough on images where the axon plugin's
+# sitecustomize register() runs at interpreter startup (before conftest)
+# and pins jax_platforms via jax.config — override it back to CPU
+# in-process.  Subprocess-based TPU tests (test_tpu_parity) build their
+# own env and are unaffected.
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Build the native host library on first use (gitignored binary).
