@@ -69,55 +69,90 @@ def capture_chunk(aligner, pr, lo, hi):
     return calls
 
 
-def _decode_plan(name, args, bt_shape):
+def _decode_plan(name, args, bt_shape, maxi_host):
     """Mirror models/staged.py's decode wiring for one kernel call:
-    returns (decode_kind, y0x0_source, active_kind, cap, max_iters) or
-    None.  cap/max_iters are shape-derived (window-invariant); y0/x0
-    are computed from the traced args inside the replay program."""
-    from yaha_tpu.models.staged import _pow2
+    returns (decode_kind, y0x0_source, active_kind, cap, order, plan)
+    or None, where `order` is the host walk-bound sort permutation and
+    `plan` the static decode_plan slice list (walk-bound-adaptive
+    per-slice iteration bounds) — both computed exactly as
+    staged._run_{ext,gap}_bucket computes them, using the captured
+    args plus the eager kernel's maxi for extensions."""
+    from yaha_tpu.models.staged import (_pow2, _pow2_floor, decode_plan,
+                                        DECODE_MAX_CELLS)
     w = bt_shape[2]
     qg = 2 * args[0].shape[1]
     if name == "extension_forward_pallas_p4":
         if qg > 16384:            # plane-path fallback in staged.py
             return None
         bound = 2 * qg + w + 2
-        return ("band", "maxij", "score", _pow2(bound, 32), bound + 16)
-    if name == "anchored_forward_pallas_banded_p4":
+        kind, yx, act = "band", "maxij", "score"
+        wb = 2 * maxi_host.astype(np.int64) + w + 2 + 16
+        order = np.argsort(maxi_host, kind="stable")
+    elif name == "anchored_forward_pallas_banded_p4":
         bound = 2 * qg + w + 2
-        return ("band", "banded", "ones", _pow2(bound, 32), bound + 16)
-    rg = 2 * args[2].shape[1]
-    bound = qg + rg + 2
-    return ("full", "full", "ones", _pow2(bound, 32), bound + 16)
+        kind, yx, act = "band", "banded", "ones"
+        wb = 2 * np.asarray(args[1], np.int64) + w + 2 + 16
+        order = np.argsort(wb, kind="stable")
+    else:
+        rg = 2 * args[2].shape[1]
+        bound = qg + rg + 2
+        kind, yx, act = "full", "full", "ones"
+        wb = (np.asarray(args[1], np.int64)
+              + np.asarray(args[3], np.int64) + 2 + 16)
+        order = np.argsort(wb, kind="stable")
+    n = bt_shape[0]
+    sl = min(_pow2_floor(max(1, DECODE_MAX_CELLS //
+                             max(1, bt_shape[1] * w)), 1024), n)
+    plan = decode_plan(wb[order], n, sl, bound + 16)
+    return (kind, yx, act, _pow2(bound, 32), order, plan)
 
 
 def build_replay(calls):
     """One jitted program running the chunk's kernel + decode sequence;
-    returns (jit_fn, flat_args_template)."""
+    returns (jit_fn, flat_args_template).  Each captured kernel runs
+    once eagerly first: the decode slicing is walk-bound-adaptive
+    (staged.decode_plan needs the host maxi), so the static plan is
+    derived from real outputs before the replay program is traced."""
     import jax
     import jax.numpy as jnp
     from yaha_tpu.ops import sw_pallas, decode_jax
-    from yaha_tpu.models.staged import DECODE_MAX_CELLS, _pow2_floor
 
     meta = []
     flat = []
+    plans = []
     for name, args, kw in calls:
         meta.append((name, len(args), tuple(sorted(kw.items()))))
+        maxi = None
+        if name == "extension_forward_pallas_p4":
+            out = getattr(sw_pallas, name)(*[jnp.asarray(a) for a in args],
+                                           **kw)
+            maxi = np.asarray(out["maxi"])
+            bt_shape = out["bt"].shape
+        else:
+            qg = 2 * args[0].shape[1]
+            w_full = 2 * args[2].shape[1] + 1
+            kwd = dict(kw)
+            bt_shape = (args[0].shape[0], qg + 1,
+                        kwd.get("wband", w_full))
+        plan = _decode_plan(name, args, bt_shape, maxi)
+        plans.append(plan)
         flat.extend(args)
+        if plan is not None:
+            flat.append(plan[4].astype(np.int32))   # the window-0 order
 
     def run(args_flat):
         it = iter(args_flat)
         acc = jnp.zeros((), jnp.int32)
-        for (name, na, kwt), (cname, cargs, ckw) in zip(meta, calls):
+        for (name, na, kwt), plan in zip(meta, plans):
             a = [next(it) for _ in range(na)]
             kw = dict(kwt)
             out = getattr(sw_pallas, name)(*a, **kw)
             acc = acc + jnp.sum(out["score"]).astype(jnp.int32)
             bt = out.get("bt", out.get("bt_b"))
-            plan = _decode_plan(name, cargs, bt.shape)
             if plan is None:
                 acc = acc + jnp.sum(bt[:, 0, 0].astype(jnp.int32))
                 continue
-            kind, yx, act_kind, cap, max_iters = plan
+            kind, yx, act_kind, cap, order, slices = plan
             if yx == "maxij":
                 y0 = out["maxi"].astype(jnp.int32)
                 x0 = out["maxj"].astype(jnp.int32)
@@ -131,31 +166,40 @@ def build_replay(calls):
                 jnp.ones(bt.shape[0], bool)
             decode = (decode_jax.rle_decode_band if kind == "band"
                       else decode_jax.rle_decode_full)
-            np_, h, w = bt.shape
-            sl = _pow2_floor(max(1, DECODE_MAX_CELLS // max(1, h * w)),
-                             1024)
-            sl = min(sl, np_)
-            for s0 in range(0, np_, sl):
-                r, c = decode(bt[s0:s0 + sl], y0[s0:s0 + sl],
-                              x0[s0:s0 + sl], active[s0:s0 + sl],
-                              cap=cap, max_iters=max_iters)
+            # The sort permutation is a replay INPUT (windows roll the
+            # problem axis, so the window's own permutation must ride
+            # along — the slice plan itself is roll-invariant because
+            # rolling permutes problems without changing the sorted
+            # walk-bound sequence).
+            idx = next(it)
+            bt = jnp.take(bt, idx, axis=0)
+            y0 = jnp.take(y0, idx, axis=0)
+            x0 = jnp.take(x0, idx, axis=0)
+            active = jnp.take(active, idx, axis=0)
+            for s0, L, lo, hi, mi in slices:
+                r, c = decode(bt[s0:s0 + L], y0[s0:s0 + L],
+                              x0[s0:s0 + L], active[s0:s0 + L],
+                              cap=cap, max_iters=mi)
                 acc = acc + jnp.sum(c).astype(jnp.int32) \
                     + jnp.sum(r[:, 0]).astype(jnp.int32)
         return acc
 
-    return jax.jit(run), flat
+    return jax.jit(run), flat, plans
 
 
-def _roll_window(calls, w):
+def _roll_window(calls, plans, w):
     """Distinct-input window w: every per-problem array rolled by the
-    same amount along axis 0 (keeps (problem, length) pairings valid)."""
-    if w == 0:
-        return [a for _, args, _ in calls for a in args]
+    same amount along axis 0 (keeps (problem, length) pairings valid).
+    Each call's sort permutation rides along: the problem holding
+    sorted-rank s moves from order0[s] to (order0[s] + k) % n."""
     out = []
-    for _, args, _ in calls:
+    for (_, args, _), plan in zip(calls, plans):
         n = args[0].shape[0]
-        k = (w * 17) % max(n, 1)
-        out.extend(np.roll(a, k, axis=0) for a in args)
+        k = 0 if w == 0 else (w * 17) % max(n, 1)
+        out.extend(args if k == 0 else
+                   (np.roll(a, k, axis=0) for a in args))
+        if plan is not None:
+            out.append(((plan[4] + k) % n).astype(np.int32))
     return out
 
 
@@ -166,11 +210,11 @@ def measure_chunk_device(aligner, pr, lo, hi, windows=5):
     calls = capture_chunk(aligner, pr, lo, hi)
     if not calls:
         return {"error": "no pallas kernel calls captured"}
-    run_jit, _ = build_replay(calls)
+    run_jit, _, plans = build_replay(calls)
 
     staged = []
     for w in range(windows):
-        args = [jax.device_put(a) for a in _roll_window(calls, w)]
+        args = [jax.device_put(a) for a in _roll_window(calls, plans, w)]
         for a in args:
             a.block_until_ready()
         staged.append(tuple(args))

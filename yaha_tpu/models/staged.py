@@ -104,6 +104,35 @@ def _pow2_arr(x, lo=32):
     return np.maximum(np.int64(lo), np.int64(1) << e)
 
 
+def decode_plan(bounds_sorted, n, sl, max_iters):
+    """Slice plan for the on-device RLE decode over walk-bound-sorted
+    problems: [(start, L, lo, hi, mi)] where rows [lo, hi) of the sorted
+    plane are decoded by a window of L rows beginning at `start`
+    (L pow2, overlapping BACKWARD into smaller-bound rows so shapes stay
+    in a tiny compile-key set) with a pow2 per-slice iteration bound
+    `mi`.  The decode's three stages (jump-plane prefix ops amortize,
+    but the walk loop and the stable-sort compaction both cost
+    O(rows x mi)) all rode the tier-wide static bound before; production
+    batches are dominated by X-drop-killed junk extensions whose walks
+    end within a few dozen rows, so bucketing mi by the host-known walk
+    bound (2*maxi + w + 2 for extensions — the same formula as the
+    static bound with the walk's true row span) removes most of that
+    work (tools/decode_profile.py measurements, BASELINE round 5)."""
+    plan = []
+    i = 0
+    while i < n:
+        mi = min(_pow2(max(int(bounds_sorted[i]), 1), 64), max_iters)
+        j = int(np.searchsorted(bounds_sorted, mi, side="right"))
+        j = max(j, i + 1)
+        for lo in range(i, j, sl):
+            hi = min(lo + sl, j)
+            L = min(_pow2(hi - lo, 1024), sl, n)
+            start = max(0, hi - L)
+            plan.append((start, L, lo, hi, mi))
+        i = j
+    return plan
+
+
 def _p32(a):
     return a.ctypes.data_as(_i32p)
 
@@ -195,19 +224,21 @@ class StagedAligner:
     # ---- DP backends ----
 
     def _device_rle(self, decode, bt, y0, x0, active, cap, max_iters,
-                    order=None):
+                    order=None, walk_bounds=None):
         """Run the on-device RLE walk over problem slices (bounding the
-        jump-plane transient HBM); returns (rle device [np, cap], n_ops
+        jump-plane transient HBM); returns (rle device [nr, cap], n_ops
         host [np], row_map [np]).
 
         `order` (host int array over the plane's rows) reorders the
-        problems before slicing: the walk loop runs until the LAST
-        active walk in a slice finishes, so grouping problems by
-        expected walk length (ascending maxi) lets the slices full of
-        X-drop-killed junk extensions exit after a few iterations
-        instead of riding the longest real walk (round 5; the measured
-        decode cost is per-iteration x slices).  row_map[p] is the rle
-        row holding problem p."""
+        problems before slicing by ascending walk bound; `walk_bounds`
+        (host ints, ORIGINAL problem order) are per-problem iteration
+        upper bounds that let each slice run with a pow2 `mi` <<
+        max_iters (see decode_plan).  The walk loop runs until the LAST
+        active walk in a slice finishes and the sort compaction is
+        O(rows x mi), so junk-dominated slices exit after a few dozen
+        iterations instead of riding the tier bound.  row_map[p] is the
+        rle row holding problem p (slices may overlap, so the rle can
+        have more rows than problems)."""
         import jax.numpy as jnp
         np_, h, w = bt.shape
         if order is not None:
@@ -218,22 +249,43 @@ class StagedAligner:
             active = jnp.take(jnp.asarray(active), idx, axis=0)
         sl = _pow2_floor(max(1, DECODE_MAX_CELLS // max(1, h * w)), 1024)
         sl = min(sl, np_)
+        if walk_bounds is not None:
+            bs = (walk_bounds[order] if order is not None
+                  else np.asarray(walk_bounds))
+            plan = decode_plan(bs, np_, sl, max_iters)
+        else:
+            plan = [(lo, min(sl, np_ - lo), lo, min(lo + sl, np_),
+                     max_iters) for lo in range(0, np_, sl)]
         outs, counts = [], []
-        for lo in range(0, np_, sl):
-            r, c = decode(bt[lo:lo + sl], y0[lo:lo + sl],
-                          x0[lo:lo + sl], active[lo:lo + sl],
-                          cap=cap, max_iters=max_iters)
+        row_sorted = np.empty(np_, np.int64)
+        off = 0
+        for start, L, lo, hi, mi in plan:
+            r, c = decode(bt[start:start + L], y0[start:start + L],
+                          x0[start:start + L], active[start:start + L],
+                          cap=cap, max_iters=mi)
             outs.append(r)
             counts.append(c)
+            row_sorted[lo:hi] = off + (np.arange(lo, hi) - start)
+            off += L
         rle = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
         cnt = counts[0] if len(counts) == 1 else jnp.concatenate(counts)
-        cnt = np.asarray(cnt)          # one blocking d2h for the counts
+        cnt = np.asarray(cnt)[row_sorted]  # one blocking d2h; per problem
+        # rle_decode_* flags a walk still active at its iteration bound
+        # with n_ops = -1; the bounds are structural (2*rows + band + 2)
+        # so this must never fire — fail loud rather than emit a
+        # truncated EditOpList.
+        if cnt.min(initial=0) < 0:
+            raise RuntimeError(
+                "on-device RLE walk truncated (max_iters bound too "
+                "small): plan=%r" % ([p[4] for p in plan],))
         if order is None:
-            row_map = np.arange(np_, dtype=np.int64)
+            row_map = row_sorted
         else:
             row_map = np.empty(np_, np.int64)
-            row_map[order] = np.arange(np_)
-            cnt = cnt[row_map]         # per-problem counts
+            row_map[order] = row_sorted
+            c2 = np.empty(np_, cnt.dtype)
+            c2[order] = cnt
+            cnt = c2
         return rle, cnt, row_map
 
     def _rle_parts(self, rle_dev, nops, n, cap, row_map=None):
@@ -336,14 +388,19 @@ class StagedAligner:
                     decode = decode_jax.rle_decode_band
                     x0 = (rl_p - ql_p + lb_p).astype(np.int32)
                     bound = 2 * qg + w + 2
+                    wb = 2 * ql_p.astype(np.int64) + w + 2 + 16
                 else:
                     decode = decode_jax.rle_decode_full
                     x0 = rl_p.astype(np.int32)
                     bound = qg + rg + 2
+                    wb = (ql_p.astype(np.int64) + rl_p + 2 + 16)
                 cap = _pow2(bound, 32)
+                # Anchored walks start at (qlen, rlen): the per-problem
+                # iteration bound rides qlen, so sort by it (decode_plan).
                 rle_dev, nops, rmap = self._device_rle(
                     decode, bt_dev, ql_p.astype(np.int32), x0,
-                    np.ones(len(ql_p), bool), cap, bound + 16)
+                    np.ones(len(ql_p), bool), cap, bound + 16,
+                    order=np.argsort(wb, kind="stable"), walk_bounds=wb)
                 parts = []
                 for lidx, arr, t in self._rle_parts(rle_dev, nops, n,
                                                     cap, rmap):
@@ -447,13 +504,18 @@ class StagedAligner:
                 w = out["bt"].shape[2]
                 bound = 2 * qg + w + 2
                 cap = _pow2(bound, 32)
-                # Walk-length-sorted decode slices: ascending maxi (the
-                # walk's row bound) groups X-drop-killed junk together
-                # so those slices' loops exit after a few iterations.
+                # Walk-bound-sorted decode slices: ascending maxi (the
+                # walk's row bound) groups X-drop-killed junk together,
+                # and per-slice pow2 iteration bounds (2*maxi + w + 2,
+                # the static formula with the true row span) let those
+                # slices' walk loops AND sort compactions run dozens of
+                # iterations instead of the tier bound (decode_plan).
+                wb = (2 * smm[1].astype(np.int64) + w + 2 + 16)
                 rle_dev, nops, rmap = self._device_rle(
                     decode_jax.rle_decode_band, out["bt"], out["maxi"],
                     out["maxj"], out["score"] > 0, cap, bound + 16,
-                    order=np.argsort(smm[1], kind="stable"))
+                    order=np.argsort(smm[1], kind="stable"),
+                    walk_bounds=wb)
                 parts = []
                 for lidx, arr, t in self._rle_parts(rle_dev, nops, n,
                                                     cap, rmap):

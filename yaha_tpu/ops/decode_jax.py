@@ -111,17 +111,22 @@ def _scatter_rows(dst, src, k):
         cols].set(src, mode="drop")
 
 
-def _rle_walk(bt, jmp, y0, x0, active0, *, cap, max_iters, moves):
-    """Shared walk loop.  `moves` = (mr_dx, ins_dx): a match/replace
+def _walk_loop(bt, jmp, y0, x0, active0, *, max_iters, moves):
+    """Shared walk loop; returns the final while_loop state (the raw
+    time-major emissions live in state[8], the per-problem item counts
+    in state[7]).  `moves` = (mr_dx, ins_dx): a match/replace
     step moves (y-1, x-mr_dx) (mr_dx 0 in band layouts, 1 in full
     coordinates); a delete step moves (y, x-L); an insert step moves
     (y-1, x+ins_dx) (ins_dx 1 for the diagonal band-layout BT_CF
-    chains, 0 for full)."""
+    chains, 0 for full).
+
+    The bt and jump planes are fused into ONE int16 plane (op bits 0-4,
+    jump length bits 5-12) so each iteration issues a single gather —
+    the per-iteration gathers are the loop's dominant cost on TPU."""
     mr_dx, ins_dx = moves
     n, h, w = bt.shape
-    bt_flat = bt.reshape(n, h * w)          # int8, bits 0-4 only
-    jmp_flat = jmp.reshape(n, h * w)
-    rows = jnp.arange(n, dtype=jnp.int32)
+    fused = (bt.astype(jnp.int16) & 31) | (jmp.astype(jnp.int16) << 5)
+    fused_flat = fused.reshape(n, h * w)
 
     def gather(plane, y, x):
         idx = (jnp.clip(y, 0, h - 1) * w + jnp.clip(x, 0, w - 1))
@@ -132,14 +137,15 @@ def _rle_walk(bt, jmp, y0, x0, active0, *, cap, max_iters, moves):
 
     def body(s):
         t, y, x, ins, prev, act, run, cur, out = s
-        b = gather(bt_flat, y, x).astype(jnp.int32)
+        bj = gather(fused_flat, y, x).astype(jnp.int32)
+        b = bj & 31
         code = jnp.where(ins == 1, OP_INSERT, b & 7)
         is_end = act & (ins == 0) & (code == 0)
         do = act & ~is_end
         is_d = do & (code == OP_DELETE)
         is_i = do & (code == OP_INSERT)
         is_mr = do & (code >= OP_MATCH) & (code <= OP_REPLACE)
-        jl = gather(jmp_flat, y, x).astype(jnp.int32)
+        jl = bj >> 5
         ln = jnp.where(is_i, 1, jl)
 
         # Flush the pending run when the op changes or the walk ends.
@@ -170,20 +176,33 @@ def _rle_walk(bt, jmp, y0, x0, active0, *, cap, max_iters, moves):
              jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
              active0, jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
              jnp.zeros((max_iters, n), jnp.int32))
-    s = jax.lax.while_loop(cond, body, state)
-    # Compact the time-major emissions to walk-order [n, cap]: a stable
-    # sort by is-zero moves each problem's entries (emitted at strictly
-    # increasing t) to the front in order.  One O(n T log T) pass
-    # replaces per-iteration O(n cap) scatters.
-    ot = s[8].T                                  # [n, T]
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _compact(out_tm, cap, max_iters):
+    """Compact the time-major emissions to walk-order [n, cap]: a stable
+    sort by is-zero moves each problem's entries (emitted at strictly
+    increasing t) to the front in order.  One O(n T log T) pass
+    replaces per-iteration O(n cap) scatters."""
+    ot = out_tm.T                                # [n, T]
     key = (ot == 0).astype(jnp.int32)
     _, packed = jax.lax.sort((key, ot), num_keys=1, dimension=1,
                              is_stable=True)
     if max_iters >= cap:
-        rle = packed[:, :cap]
-    else:
-        rle = jnp.pad(packed, ((0, 0), (0, cap - max_iters)))
-    return rle, s[7]  # (rle [n, cap], n_ops [n])
+        return packed[:, :cap]
+    return jnp.pad(packed, ((0, 0), (0, cap - max_iters)))
+
+
+def _rle_walk(bt, jmp, y0, x0, active0, *, cap, max_iters, moves):
+    s = _walk_loop(bt, jmp, y0, x0, active0, max_iters=max_iters,
+                   moves=moves)
+    rle = _compact(s[8], cap, max_iters)
+    # A walk still active when the loop hit max_iters was TRUNCATED
+    # (possible only if the caller's iteration bound is wrong); flag it
+    # as n_ops = -1 so the host asserts instead of applying a partial
+    # EditOpList (staged._device_rle).
+    n_ops = jnp.where(s[5], jnp.int32(-1), s[7])
+    return rle, n_ops  # (rle [n, cap], n_ops [n])
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "max_iters"))
