@@ -247,7 +247,7 @@ def _anch_kernel(q_ref, r_ref, qlens_ref, rlens_ref, lbw_ref, rbw_ref,
         q_char = q_ref[i - 1, 0].astype(i32)
 
         def col_step(j, carry):
-            pe_col, pd_col, pv_col, prev_old = carry
+            pe_col, pd_col, pv_col, prev_old, sc = carry
             active = row_active & (j >= i - lbw) & (j <= i + rbw) & \
                 (j <= rlens)
             old_j = pv[j]
@@ -282,17 +282,20 @@ def _anch_kernel(q_ref, r_ref, qlens_ref, rlens_ref, lbw_ref, rbw_ref,
             bt_out[0, j, 0] = jnp.where(active, packed,
                                         full(OP_UNKNOWN)).astype(jnp.int8)
             pv[j] = jnp.where(active, v2, pv[j])
-            score[0] = jnp.where(active & (i == qlens) & (j == rlens),
-                                 v2, score[0])
+            # Score tracker in the loop carry, not a per-cell VMEM
+            # read-modify-write (see _anch_banded_kernel).
+            sc = jnp.where(active & (i == qlens) & (j == rlens), v2, sc)
 
             pe_col = jnp.where(active, pe_new, pe_col)
             pd_col = jnp.where(active, pd_new, pd_col)
             pv_col = jnp.where(active, v2, pv_col)
-            return pe_col, pd_col, pv_col, old_j
+            return pe_col, pd_col, pv_col, old_j, sc
 
         carry = (full(DP_WORST), full(0),
-                 jnp.where(i <= lbw, edge_val, full(DP_WORST)), prev0)
-        jax.lax.fori_loop(1, wid, col_step, carry)
+                 jnp.where(i <= lbw, edge_val, full(DP_WORST)), prev0,
+                 score[0])
+        carry = jax.lax.fori_loop(1, wid, col_step, carry)
+        score[0] = carry[4]
 
     score_out[0, 0] = score[0]
 
@@ -435,7 +438,7 @@ def _anch_banded_kernel(q_ref, r2_ref, qlens_ref, rlens_ref, lbw_ref,
         q_char = q_ref[i - 1, 0].astype(i32)
 
         def col_step(o, carry):
-            pe_col, pd_col, pv_col = carry
+            pe_col, pd_col, pv_col, sc = carry
             j = i + o - lbw
             active = row_active & (j >= 1) & (o <= bandw) & (j <= rlens)
             # Column-0 insert boundary slides through the band frame.
@@ -477,18 +480,23 @@ def _anch_banded_kernel(q_ref, r2_ref, qlens_ref, rlens_ref, lbw_ref,
             ).astype(jnp.int8)
             pv[o] = jnp.where(active, v2,
                               jnp.where(is_bound, edge_val, full(DP_WORST)))
-            score[0] = jnp.where(active & (i == qlens) & (j == rlens),
-                                 v2, score[0])
+            # Final score lives in the loop CARRY, not the score[0]
+            # scratch: a per-cell read-modify-write of VMEM is a
+            # loop-carried memory dependency that stalls every band
+            # column (~6x per-cell cost measured; the extension kernel
+            # keeps its trackers in the carry for the same reason).
+            sc = jnp.where(active & (i == qlens) & (j == rlens), v2, sc)
 
             pe_col = jnp.where(active, pe_new, full(DP_WORST))
             pd_col = jnp.where(active, pd_new, full(0))
             pv_col = jnp.where(active, v2,
                                jnp.where(is_bound, edge_val,
                                          full(DP_WORST)))
-            return pe_col, pd_col, pv_col
+            return pe_col, pd_col, pv_col, sc
 
-        carry = (full(DP_WORST), full(0), full(DP_WORST))
-        jax.lax.fori_loop(0, wband, col_step, carry)
+        carry = (full(DP_WORST), full(0), full(DP_WORST), score[0])
+        carry = jax.lax.fori_loop(0, wband, col_step, carry)
+        score[0] = carry[3]
 
     score_out[0, 0] = score[0]
 
@@ -519,14 +527,23 @@ def anchored_forward_pallas_banded(q, qlens, r, rlens, left_bw, right_bw,
     lbw32 = left_bw.astype(jnp.int32)
 
     # Pre-shift each problem's reference so the kernel's per-cell load is
-    # at the common index s = i - 1 + o:  r2[s] = r[s - lbw].
+    # at the common index s = i - 1 + o:  r2[s] = r[s - lbw].  The shift
+    # is a LOG-STEP conditional roll, not a gather: a per-row
+    # take_along_axis here measured 2.9 ms of the entry's 3.3 ms per
+    # 1024 x 192x256 launch (the DP kernel itself is ~0.36 ms — the
+    # "4.5 Gcells/s banded-anchored kernel" was 89% this gather;
+    # BASELINE round 5).  Rolls compose additively mod w2 and the valid
+    # window [lbw, lbw + rl) never sees wrapped lanes, so k conditional
+    # whole-array rolls implement every per-problem shift exactly.
     w2 = ql_max + wband
     s_idx = jnp.arange(w2)[None, :] - lbw32[:, None]
     valid_r = (s_idx >= 0) & (s_idx < rl_max)
-    r2 = jnp.where(
-        valid_r,
-        jnp.take_along_axis(r, jnp.clip(s_idx, 0, rl_max - 1), axis=1),
-        jnp.uint8(255))
+    base = (r[:, :w2] if rl_max >= w2 else
+            jnp.pad(r, ((0, 0), (0, w2 - rl_max))))
+    for k in range((max(wband - 1, 1)).bit_length()):
+        bit = ((lbw32 >> k) & 1).astype(bool)[:, None]
+        base = jnp.where(bit, jnp.roll(base, 1 << k, axis=1), base)
+    r2 = jnp.where(valid_r, base, jnp.uint8(255))
 
     q_t = q.reshape(tiles, SUB, LANE, ql_max).transpose(3, 0, 1, 2)
     r2_t = r2.reshape(tiles, SUB, LANE, w2).transpose(3, 0, 1, 2)
