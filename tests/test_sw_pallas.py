@@ -182,3 +182,32 @@ def test_anchored_banded_pallas_matches_xla():
             want = dp_common.traceback_anchored(
                 ref_eo[k], ref_idc[k], int(qlens[k]), int(rlens[k]))
             assert items[idx] == want, k
+
+
+def test_extension_pallas_windowed_matches_resident():
+    """The windowed-input variant (VMEM O(band); used for ql > 2048
+    where resident rows blow the 16 MB scoped VMEM limit) must be
+    bit-identical to the resident variant at any shape."""
+    rng = np.random.default_rng(23)
+    n, ql, bw = sw_pallas.TILE, 20, 2
+    bw2 = 2 * bw
+    rl = ql + 2 * bw2
+    q = rng.integers(0, 4, (n, ql)).astype(np.uint8)
+    qlens = rng.integers(1, ql + 1, n).astype(np.int64)
+    r = np.zeros((n, rl), np.uint8)
+    for k in range(n):
+        L = qlens[k]
+        r[k, :L] = q[k, :L]
+        m = rng.random(L) < 0.2
+        r[k, :L][m] = rng.integers(0, 4, int(m.sum()))
+        r[k, L:] = rng.integers(0, 4, rl - L)
+    rlens = np.minimum(qlens + bw2, rl).astype(np.int64)
+    kw = dict(band_width=bw, x_cutoff=25, **KW)
+    res = sw_pallas.extension_forward_pallas(q, qlens, r, rlens,
+                                             interpret=True, **kw)
+    win = sw_pallas.extension_forward_pallas(q, qlens, r, rlens,
+                                             interpret=True,
+                                             force_windowed=True, **kw)
+    for key in ("score", "maxi", "maxj", "bt"):
+        np.testing.assert_array_equal(np.asarray(res[key]),
+                                      np.asarray(win[key]), err_msg=key)

@@ -51,7 +51,53 @@ def _ext_kernel(q_ref, r_ref, qlens_ref, rlens_ref,
                 bt_out, score_out, maxi_out, maxj_out,
                 pv, pf, pi, max_score, maxi, maxj, done,
                 *, w, bw2, go, ge, rc, ms, max_gap, max_intron, x_cutoff):
-    g = pl.program_id(1)  # 0 = row-0 init, else query row i = g
+    """Resident-input variant: the whole query/reference rows live in
+    VMEM.  Valid only while (ql + rl) x 1 KB x 2 fits scoped VMEM —
+    extension_forward_pallas routes longer problems to the windowed
+    variant below."""
+    g = pl.program_id(1)
+    _ext_body(lambda i: q_ref[i - 1, 0], lambda s: r_ref[s, 0],
+              qlens_ref, rlens_ref, bt_out, score_out, maxi_out,
+              maxj_out, pv, pf, pi, max_score, maxi, maxj, done, g=g,
+              w=w, bw2=bw2, go=go, ge=ge, rc=rc, ms=ms, max_gap=max_gap,
+              max_intron=max_intron, x_cutoff=x_cutoff)
+
+
+def _ext_kernel_win(q_ref, ra_ref, rb_ref, qlens_ref, rlens_ref,
+                    bt_out, score_out, maxi_out, maxj_out,
+                    pv, pf, pi, max_score, maxi, maxj, done,
+                    *, w, bw2, go, ge, rc, ms, max_gap, max_intron,
+                    x_cutoff, w_blk):
+    """Windowed-input variant for long reads: VMEM scales with the BAND,
+    not the read.  The q block is the single row i-1; the reference
+    window [i-1, i-1+w) spans at most two w_blk-row blocks (w <= w_blk),
+    delivered as ra (block (g-1)//w_blk) and rb (the next block) — per
+    cell the local offset l = (g-1) % w_blk + j selects between them.
+    The resident variant's whole-row blocks at the ql=4096 tier cost
+    16.9 MB of double-buffered VMEM (> the 16 MB scoped limit: the
+    10 kb staged row OOMed at compile; BASELINE round 5)."""
+    g = pl.program_id(1)
+    off = jnp.maximum(g - 1, 0) % w_blk
+
+    def get_r(s):                     # s = i - 1 + j; l = off + j
+        l = s - (g - 1) + off
+        a = ra_ref[jnp.minimum(l, w_blk - 1), 0]
+        b = rb_ref[jnp.clip(l - w_blk, 0, w_blk - 1), 0]
+        return jnp.where(l < w_blk, a, b)
+
+    _ext_body(lambda i: q_ref[0, 0], get_r,
+              qlens_ref, rlens_ref, bt_out, score_out, maxi_out,
+              maxj_out, pv, pf, pi, max_score, maxi, maxj, done, g=g,
+              w=w, bw2=bw2, go=go, ge=ge, rc=rc, ms=ms, max_gap=max_gap,
+              max_intron=max_intron, x_cutoff=x_cutoff)
+
+
+def _ext_body(get_q, get_r, qlens_ref, rlens_ref,
+              bt_out, score_out, maxi_out, maxj_out,
+              pv, pf, pi, max_score, maxi, maxj, done,
+              *, g, w, bw2, go, ge, rc, ms, max_gap, max_intron,
+              x_cutoff):
+    # g: 0 = row-0 init, else query row i = g
     i32 = jnp.int32
 
     def full(v, dtype=i32):
@@ -104,13 +150,13 @@ def _ext_kernel(q_ref, r_ref, qlens_ref, rlens_ref,
         def _():
             pv[jnp.maximum(bw2 - i, 0)] = edge_val
 
-        q_char = q_ref[i - 1, 0].astype(i32)
+        q_char = get_q(i).astype(i32)
 
         def col_step(j, carry):
             pe_col, pd_col, pv_col, row_max, best_v, best_j = carry
             active = row_active & (j >= start_col) & (j <= end_col)
             v = pv[j]
-            r_char = r_ref[i - 1 + j, 0].astype(i32)
+            r_char = get_r(i - 1 + j).astype(i32)
             # Arithmetic form of codesEqual to sidestep a Mosaic i1-layout
             # issue with eq on dynamically indexed loads.
             neq = jnp.minimum(jnp.abs(q_char - r_char), 1)
@@ -713,10 +759,11 @@ def unshift_anchored_banded(eo_b, idc_b, left_bw, wid):
 @functools.partial(
     jax.jit,
     static_argnames=("band_width", "go", "ge", "rc", "ms", "max_gap",
-                     "max_intron", "x_cutoff", "interpret"))
+                     "max_intron", "x_cutoff", "interpret",
+                     "force_windowed"))
 def extension_forward_pallas(q, qlens, r, rlens, *, band_width, go, ge, rc,
                              ms, max_gap, max_intron, x_cutoff,
-                             interpret=False):
+                             interpret=False, force_windowed=False):
     """Pallas forward pass; same contract as batched_extension_forward but
     with N a multiple of TILE=1024.
 
@@ -741,11 +788,46 @@ def extension_forward_pallas(q, qlens, r, rlens, *, band_width, go, ge, rc,
     rlens_t = rlens.astype(jnp.int32).reshape(tiles, SUB, LANE)
 
     grid = (tiles, ql_max + 1)
-    kernel = functools.partial(
-        _ext_kernel, w=w, bw2=bw2, go=go, ge=ge, rc=rc, ms=ms,
-        max_gap=max_gap, max_intron=max_intron, x_cutoff=x_cutoff)
-
+    # Resident inputs double-buffer (ql + rl) KB of VMEM per tile —
+    # 16.9 MB at the ql=4096 tier, over the 16 MB scoped limit.  Long
+    # tiers use the windowed variant: q as a 1-row block, r as two
+    # sliding w_blk-row blocks, so VMEM is O(band) however long the
+    # read (force_windowed exists for parity tests at small shapes).
+    windowed = force_windowed or ql_max > 2048
     rl_pad = r_t.shape[0]
+    if windowed:
+        w_blk = max(256, 1 << (w - 1).bit_length())
+        nblk = -(-(ql_max + w) // w_blk) + 2
+        r_t = jnp.pad(r_t, ((0, nblk * w_blk - rl_pad), (0, 0), (0, 0),
+                            (0, 0)), constant_values=255)
+        kernel = functools.partial(
+            _ext_kernel_win, w=w, bw2=bw2, go=go, ge=ge, rc=rc, ms=ms,
+            max_gap=max_gap, max_intron=max_intron, x_cutoff=x_cutoff,
+            w_blk=w_blk)
+        in_specs = [
+            pl.BlockSpec((1, 1, SUB, LANE),
+                         lambda t, g: (jnp.maximum(g - 1, 0), t, 0, 0)),
+            pl.BlockSpec((w_blk, 1, SUB, LANE),
+                         lambda t, g: (jnp.maximum(g - 1, 0) // w_blk,
+                                       t, 0, 0)),
+            pl.BlockSpec((w_blk, 1, SUB, LANE),
+                         lambda t, g: (jnp.maximum(g - 1, 0) // w_blk + 1,
+                                       t, 0, 0)),
+            pl.BlockSpec((1, SUB, LANE), lambda t, g: (t, 0, 0)),
+            pl.BlockSpec((1, SUB, LANE), lambda t, g: (t, 0, 0)),
+        ]
+        args = (q_t, r_t, r_t, qlens_t, rlens_t)
+    else:
+        kernel = functools.partial(
+            _ext_kernel, w=w, bw2=bw2, go=go, ge=ge, rc=rc, ms=ms,
+            max_gap=max_gap, max_intron=max_intron, x_cutoff=x_cutoff)
+        in_specs = [
+            pl.BlockSpec((ql_max, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
+            pl.BlockSpec((rl_pad, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
+            pl.BlockSpec((1, SUB, LANE), lambda t, g: (t, 0, 0)),
+            pl.BlockSpec((1, SUB, LANE), lambda t, g: (t, 0, 0)),
+        ]
+        args = (q_t, r_t, qlens_t, rlens_t)
     out_shapes = (
         jax.ShapeDtypeStruct((ql_max + 1, w, tiles, SUB, LANE), jnp.int8),
         jax.ShapeDtypeStruct((1, tiles, SUB, LANE), jnp.int32),
@@ -755,12 +837,7 @@ def extension_forward_pallas(q, qlens, r, rlens, *, band_width, go, ge, rc,
     bt, score, maxi, maxj = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((ql_max, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
-            pl.BlockSpec((rl_pad, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
-            pl.BlockSpec((1, SUB, LANE), lambda t, g: (t, 0, 0)),
-            pl.BlockSpec((1, SUB, LANE), lambda t, g: (t, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, w, 1, SUB, LANE), lambda t, g: (g, 0, t, 0, 0)),
             pl.BlockSpec((1, 1, SUB, LANE), lambda t, g: (0, t, 0, 0)),
@@ -778,7 +855,7 @@ def extension_forward_pallas(q, qlens, r, rlens, *, band_width, go, ge, rc,
         ],
         out_shape=out_shapes,
         interpret=interpret,
-    )(q_t, r_t, qlens_t, rlens_t)
+    )(*args)
 
     def from_tiles(x):
         t_axis = x.ndim - 3
